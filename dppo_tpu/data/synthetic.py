@@ -1,0 +1,129 @@
+"""Synthetic demonstration generators for tests and benches.
+
+The reference framework ships datasets from Google Drive (`script/run.py:48`,
+`script/download_url.py`); with zero egress we instead generate stitched-
+format demos locally: (1) a generic smooth-trajectory generator matching any
+(obs_dim, action_dim), and (2) a Hopper demo collector that rolls a scripted
+controller in the real gymnasium MuJoCo env. Both emit the npz schema
+consumed by :mod:`dppo_tpu.data.sequence` (`states`, `actions`,
+`traj_lengths`, optional `rewards`/`terminals`) plus `normalization.npz`
+(`obs_min`, `obs_max`, `action_min`, `action_max`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def make_synthetic_dataset(
+    path: str,
+    n_episodes: int = 20,
+    traj_length: int = 100,
+    obs_dim: int = 11,
+    action_dim: int = 3,
+    seed: int = 0,
+    with_rewards: bool = False,
+) -> str:
+    """Smooth sinusoidal trajectories with action = g(state) for learnability."""
+    rng = np.random.default_rng(seed)
+    states, actions, rewards, terminals, lengths = [], [], [], [], []
+    W = rng.normal(size=(obs_dim, action_dim)) / np.sqrt(obs_dim)
+    for _ in range(n_episodes):
+        phase = rng.uniform(0, 2 * np.pi, size=obs_dim)
+        freq = rng.uniform(0.5, 1.5, size=obs_dim)
+        t = np.arange(traj_length)[:, None]
+        s = np.sin(freq[None, :] * t * 0.1 + phase[None, :]).astype(np.float32)
+        a = np.tanh(s @ W).astype(np.float32)
+        states.append(s)
+        actions.append(a)
+        if with_rewards:
+            rewards.append(np.exp(-np.sum(a**2, -1)).astype(np.float32))
+            term = np.zeros(traj_length, dtype=np.float32)
+            term[-1] = 1.0
+            terminals.append(term)
+        lengths.append(traj_length)
+    out = dict(
+        states=np.concatenate(states),
+        actions=np.concatenate(actions),
+        traj_lengths=np.asarray(lengths),
+    )
+    if with_rewards:
+        out["rewards"] = np.concatenate(rewards)
+        out["terminals"] = np.concatenate(terminals)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **out)
+    return path
+
+
+def make_normalization(path: str, states: np.ndarray, actions: np.ndarray) -> str:
+    np.savez(
+        path,
+        obs_min=states.min(0),
+        obs_max=states.max(0),
+        action_min=actions.min(0),
+        action_max=actions.max(0),
+    )
+    return path
+
+
+def collect_gym_demos(
+    env_id: str,
+    path: str,
+    norm_path: str,
+    n_episodes: int = 10,
+    max_steps: int = 300,
+    seed: int = 0,
+) -> str:
+    """Roll random-ish actions in a gymnasium env and save normalized demos.
+
+    Not an expert policy — enough to exercise the full pretrain→finetune
+    pipeline on real MuJoCo observations/dynamics.
+    """
+    import gymnasium
+
+    env = gymnasium.make(env_id)
+    rng = np.random.default_rng(seed)
+    states, actions, lengths = [], [], []
+    for ep in range(n_episodes):
+        obs, _ = env.reset(seed=seed + ep)
+        ep_s, ep_a = [], []
+        prev_a = np.zeros(env.action_space.shape, dtype=np.float32)
+        for _ in range(max_steps):
+            a = np.clip(
+                0.8 * prev_a + 0.4 * rng.standard_normal(env.action_space.shape),
+                -1,
+                1,
+            ).astype(np.float32)
+            ep_s.append(np.asarray(obs, dtype=np.float32))
+            ep_a.append(a)
+            obs, r, term, trunc, _ = env.step(a)
+            prev_a = a
+            if term or trunc:
+                break
+        states.append(np.stack(ep_s))
+        actions.append(np.stack(ep_a))
+        lengths.append(len(ep_s))
+    env.close()
+    all_s = np.concatenate(states)
+    all_a = np.concatenate(actions)
+    obs_min, obs_max = all_s.min(0), all_s.max(0)
+    act_min, act_max = all_a.min(0) - 1e-3, all_a.max(0) + 1e-3
+    norm_s = 2 * ((all_s - obs_min) / (obs_max - obs_min + 1e-6) - 0.5)
+    norm_a = 2 * ((all_a - act_min) / (act_max - act_min + 1e-6) - 0.5)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(
+        path,
+        states=norm_s.astype(np.float32),
+        actions=norm_a.astype(np.float32),
+        traj_lengths=np.asarray(lengths),
+    )
+    np.savez(
+        norm_path,
+        obs_min=obs_min,
+        obs_max=obs_max,
+        action_min=act_min,
+        action_max=act_max,
+    )
+    return path

@@ -1,0 +1,45 @@
+"""Cosine-annealing-with-warmup-restarts learning-rate schedule.
+
+Pure function of the step count — usable both as an optax schedule and for
+per-iteration lr computation inside a jitted train step. Matches the torch
+scheduler used for every optimizer in the reference
+(`util/scheduler.py:32` CosineAnnealingWarmupRestarts with cycle_mult=1,
+base lr initialised to min_lr): during warmup the lr ramps linearly from
+min_lr to max_lr over `warmup_steps`, then follows a half-cosine from max_lr
+down to min_lr over the remainder of the cycle; cycles repeat every
+`first_cycle_steps` with max lr scaled by `gamma**cycle`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cosine_warmup_restarts(
+    max_lr: float,
+    min_lr: float,
+    first_cycle_steps: int,
+    warmup_steps: int = 0,
+    gamma: float = 1.0,
+):
+    """Return schedule(step) -> lr. `step` may be a python int or jnp scalar."""
+    assert warmup_steps < first_cycle_steps
+
+    def schedule(step):
+        step = jnp.asarray(step, dtype=jnp.float32)
+        cycle = jnp.floor(step / first_cycle_steps)
+        step_in_cycle = step - cycle * first_cycle_steps
+        cycle_max_lr = max_lr * gamma**cycle
+        warm_frac = jnp.where(warmup_steps > 0, step_in_cycle / max(warmup_steps, 1), 1.0)
+        warm_lr = min_lr + (cycle_max_lr - min_lr) * warm_frac
+        cos_lr = min_lr + (cycle_max_lr - min_lr) * 0.5 * (
+            1.0
+            + jnp.cos(
+                jnp.pi
+                * (step_in_cycle - warmup_steps)
+                / (first_cycle_steps - warmup_steps)
+            )
+        )
+        return jnp.where(step_in_cycle < warmup_steps, warm_lr, cos_lr)
+
+    return schedule

@@ -1,0 +1,16 @@
+"""Test harness: force CPU with 8 virtual devices so multi-chip sharding
+paths compile and execute without TPU hardware (and without the slow
+single-chip axon tunnel)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
