@@ -1,0 +1,84 @@
+"""Benchmark: DPPO denoising throughput on the flagship compute path.
+
+Measures denoise-steps/s/chip for the fine-tuning chain sampler at the
+reference's hopper operating point (B=40 envs, K=20 DDPM steps, fine-tune
+last 10, DiffusionMLP [512,512,512] residual — `cfg/gym/finetune/hopper-v2/
+ft_ppo_diffusion_mlp.yaml`), i.e. how many (batch-element × denoise-step)
+network evaluations per second one chip sustains, including chain recording
+and all reference clipping. The whole K-step chain is one jitted lax.scan.
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.md). The denominator is a documented estimate of the reference's
+effective rate at the same operating point: its Python loop issues one eager
+CUDA MLP forward per denoise step per macro-step; at the repo's reported
+recipe (~1000 iters × 500 macro-steps × 40 envs x 20 denoise steps with
+per-iteration wall time dominated by rollout), an optimistic 40 s/iteration
+gives 500*40*20 / 40 s = 1.0e4 denoise-steps/s. We hold that estimate fixed
+across rounds so the number is comparable.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_DENOISE_STEPS_PER_S = 1.0e4  # documented estimate, fixed across rounds
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_model
+
+    model = _flagship_model()
+    B, K = 40, model.denoising_steps
+    cond = {"state": jnp.zeros((B, 1, 11), dtype=jnp.float32)}
+    params = model.init_vpg_params(jax.random.key(0), cond)
+
+    @jax.jit
+    def sample_step(params, state_obs, rng):
+        out = model.sample(
+            params, {"state": state_obs}, rng, deterministic=False,
+            return_chain=True,
+        )
+        return out.trajectories, out.chains
+
+    rng = jax.random.key(1)
+    state_obs = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, 1, 11)), jnp.float32
+    )
+    # warmup / compile
+    out = sample_step(params, state_obs, rng)
+    jax.block_until_ready(out)
+
+    # timed: many independent sampler calls (one per env macro-step)
+    n_iters = 200
+    rngs = jax.random.split(jax.random.key(2), n_iters)
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sample_step(params, state_obs, rngs[i])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    denoise_steps_per_s = n_iters * B * K / dt
+    print(
+        json.dumps(
+            {
+                "metric": "denoise_steps_per_s_per_chip",
+                "value": round(denoise_steps_per_s, 1),
+                "unit": "denoise-steps/s/chip",
+                "vs_baseline": round(
+                    denoise_steps_per_s / REFERENCE_DENOISE_STEPS_PER_S, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

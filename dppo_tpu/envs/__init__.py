@@ -1,0 +1,136 @@
+"""Environment factory.
+
+Parity with `env/gym_utils/__init__.py:10` `make_async`: builds, per env,
+raw sim → task wrapper(s) → MultiStep, then wraps N copies in an async
+(sharded multiprocess) or sync pool. Robomimic/D3IL/Furniture branches are
+gated on their simulators being importable; the gym-locomotion and dummy
+branches run anywhere.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+from dppo_tpu.envs.multi_step import MultiStep
+from dppo_tpu.envs.vector import AsyncVectorEnv, SyncVectorEnv
+from dppo_tpu.envs.wrappers import get_wrapper
+from dppo_tpu.envs.wrappers.mujoco_locomotion import resolve_env_id
+
+log = logging.getLogger(__name__)
+
+
+class EnvFactory:
+    """Picklable per-env constructor (async workers rebuild envs remotely)."""
+
+    def __init__(
+        self,
+        env_name: str,
+        env_type: Optional[str],
+        wrappers: Optional[dict],
+        max_episode_steps: Optional[int],
+        obs_dim: int,
+        action_dim: int,
+        robomimic_env_cfg_path: Optional[str] = None,
+        shape_meta: Optional[dict] = None,
+        use_image_obs: bool = False,
+        render_offscreen: bool = False,
+        **kwargs,
+    ):
+        from dppo_tpu.config import to_container
+
+        self.env_name = env_name
+        self.env_type = env_type
+        wrappers = dict(to_container(wrappers or {}))
+        self.multi_step_cfg = dict(wrappers.pop("multi_step", {}))
+        self.multi_step_cfg.setdefault("max_episode_steps", max_episode_steps)
+        self.wrappers = wrappers
+        self.obs_dim = obs_dim
+        self.action_dim = action_dim
+        self.robomimic_env_cfg_path = robomimic_env_cfg_path
+        self.shape_meta = to_container(shape_meta)
+        self.use_image_obs = use_image_obs
+        self.render_offscreen = render_offscreen
+
+    def __call__(self):
+        wrappers = self.wrappers
+        if self.env_type == "dummy" or "dummy_lowdim" in wrappers:
+            cfg = dict(wrappers.get("dummy_lowdim", {}))
+            cfg.setdefault("obs_dim", self.obs_dim)
+            cfg.setdefault("action_dim", self.action_dim)
+            env = get_wrapper("dummy_lowdim")(None, **cfg)
+        elif self.env_type == "robomimic" or "robomimic_lowdim" in wrappers or (
+            "robomimic_image" in wrappers
+        ):
+            import json
+
+            import robomimic.utils.env_utils as EnvUtils  # gated
+
+            with open(self.robomimic_env_cfg_path) as f:
+                env_meta = json.load(f)
+            raw = EnvUtils.create_env_from_metadata(
+                env_meta=env_meta,
+                render=False,
+                render_offscreen=self.render_offscreen,
+                use_image_obs=self.use_image_obs,
+            )
+            raw.env.hard_reset = False
+            key = (
+                "robomimic_image" if "robomimic_image" in wrappers
+                else "robomimic_lowdim"
+            )
+            env = get_wrapper(key)(
+                raw, shape_meta=self.shape_meta, **wrappers[key]
+            )
+        else:
+            import gymnasium
+
+            # MultiStep owns the episode budget; effectively disable the
+            # inner TimeLimit (reference bypasses gym's TimeLimit the same
+            # way via MultiStep bookkeeping, multi_step.py:156-166)
+            raw = gymnasium.make(
+                resolve_env_id(self.env_name), max_episode_steps=int(1e9)
+            )
+            key = "mujoco_locomotion_lowdim"
+            if key in wrappers:
+                env = get_wrapper(key)(raw, **wrappers[key])
+            elif "d3il_lowdim" in wrappers:
+                env = get_wrapper("d3il_lowdim")(raw, **wrappers["d3il_lowdim"])
+            else:
+                raise ValueError(
+                    f"no task wrapper configured for env {self.env_name!r}"
+                )
+        return MultiStep(env, **self.multi_step_cfg)
+
+
+def make_async(
+    env_name: str,
+    env_type: Optional[str] = None,
+    num_envs: int = 1,
+    asynchronous: bool = True,
+    max_episode_steps: Optional[int] = None,
+    wrappers: Optional[dict] = None,
+    n_workers: Optional[int] = None,
+    obs_dim: int = 11,
+    action_dim: int = 3,
+    **kwargs,
+):
+    if env_type == "furniture":
+        raise NotImplementedError(
+            "Furniture-Bench requires IsaacGym (CUDA), which has no TPU-host "
+            "port; plug a batched GPU env server behind the VectorEnv API "
+            "instead (SURVEY §2.9)."
+        )
+    fn = EnvFactory(
+        env_name,
+        env_type,
+        wrappers,
+        max_episode_steps,
+        obs_dim,
+        action_dim,
+        **kwargs,
+    )
+    env_fns = [fn] * num_envs
+    if asynchronous:
+        return AsyncVectorEnv(env_fns, n_workers=n_workers)
+    return SyncVectorEnv(env_fns)

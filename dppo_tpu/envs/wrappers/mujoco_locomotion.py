@@ -1,0 +1,75 @@
+"""MuJoCo locomotion task wrapper over gymnasium.
+
+Parity with `env/gym_utils/wrapper/mujoco_locomotion_lowdim.py:12`: dict
+observations under "state", obs normalized to the demo statistics'
+min/max→[-1,1] range, actions unnormalized from [-1,1], per-env numpy seeding.
+
+Built on gymnasium (5-tuple step API) instead of gym 0.22; the underlying
+env ids map d4rl-style names (`hopper-medium-v2`) onto gymnasium MuJoCo v4
+tasks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+D4RL_TO_GYMNASIUM = {
+    "hopper": "Hopper-v4",
+    "walker2d": "Walker2d-v4",
+    "halfcheetah": "HalfCheetah-v4",
+    "ant": "Ant-v4",
+}
+
+
+def resolve_env_id(name: str) -> str:
+    base = name.split("-")[0].lower()
+    if base in D4RL_TO_GYMNASIUM:
+        return D4RL_TO_GYMNASIUM[base]
+    return name
+
+
+class MujocoLocomotionLowdimWrapper:
+    def __init__(self, env, normalization_path: str):
+        self.env = env
+        norm = np.load(normalization_path)
+        self.obs_min = norm["obs_min"]
+        self.obs_max = norm["obs_max"]
+        self.action_min = norm["action_min"]
+        self.action_max = norm["action_max"]
+        self.action_space = env.action_space
+        self.observation_space = None  # dict{"state"}; spaces built by pool
+
+    def seed(self, seed: Optional[int] = None):
+        self._seed = seed
+
+    def normalize_obs(self, obs):
+        return 2 * (
+            (obs - self.obs_min) / (self.obs_max - self.obs_min + 1e-6) - 0.5
+        )
+
+    def unnormalize_action(self, action):
+        action = (action + 1) / 2.0
+        return action * (self.action_max - self.action_min) + self.action_min
+
+    def reset(self, seed=None, options=None):
+        options = options or {}
+        seed = options.get("seed", seed if seed is not None else getattr(self, "_seed", None))
+        self._seed = None if seed is None else seed + 1  # vary future resets
+        raw_obs, _ = self.env.reset(seed=seed)
+        return {"state": self.normalize_obs(raw_obs).astype(np.float32)}
+
+    def step(self, action):
+        raw_action = self.unnormalize_action(action)
+        raw_obs, reward, terminated, truncated, info = self.env.step(raw_action)
+        obs = {"state": self.normalize_obs(raw_obs).astype(np.float32)}
+        # episode-length budgeting is owned by MultiStep (reference parity:
+        # the inner TimeLimit is bypassed there); drop gymnasium's truncation
+        return obs, float(reward), bool(terminated), False, info
+
+    def render(self, **kwargs):
+        return self.env.render()
+
+    def close(self):
+        self.env.close()
