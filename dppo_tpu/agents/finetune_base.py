@@ -157,6 +157,103 @@ class TrainAgent(BaseAgent):
         return obs
 
 
+    # ------------------------------------------------------------------
+    def _episode_stats(self, firsts_trajs, reward_trajs):
+        """Episode accounting (parity: train_ppo_diffusion_agent.py:153-193)."""
+        episodes_start_end = []
+        for env_ind in range(self.n_envs):
+            env_steps = np.where(firsts_trajs[:, env_ind] == 1)[0]
+            for i in range(len(env_steps) - 1):
+                start, end = env_steps[i], env_steps[i + 1]
+                if end - start > 1:
+                    episodes_start_end.append((env_ind, start, end - 1))
+        if episodes_start_end:
+            reward_trajs_split = [
+                reward_trajs[start : end + 1, env_ind]
+                for env_ind, start, end in episodes_start_end
+            ]
+            episode_reward = np.array(
+                [np.sum(r) for r in reward_trajs_split]
+            )
+            if self.furniture_sparse_reward:
+                episode_best_reward = episode_reward
+            else:
+                episode_best_reward = np.array(
+                    [np.max(r) / self.act_steps for r in reward_trajs_split]
+                )
+            return {
+                "num_episode_finished": len(reward_trajs_split),
+                "avg_episode_reward": float(np.mean(episode_reward)),
+                "avg_best_reward": float(np.mean(episode_best_reward)),
+                "success_rate": float(
+                    np.mean(
+                        episode_best_reward
+                        >= self.best_reward_threshold_for_success
+                    )
+                ),
+            }
+        log.info("[WARNING] No episode completed within the iteration!")
+        return {
+            "num_episode_finished": 0,
+            "avg_episode_reward": 0.0,
+            "avg_best_reward": 0.0,
+            "success_rate": 0.0,
+        }
+
+    def _log_iteration(self, eval_mode, stats, diag, cnt_train_step, timer):
+        record = {"itr": self.itr, "step": cnt_train_step}
+        if self.itr % self.log_freq == 0:
+            t = timer()
+            record["time"] = t
+            if eval_mode:
+                log.info(
+                    "eval: success rate %.4f | avg episode reward %.4f | avg best reward %.4f",
+                    stats["success_rate"],
+                    stats["avg_episode_reward"],
+                    stats["avg_best_reward"],
+                )
+                self.logger.log(
+                    {
+                        "success rate - eval": stats["success_rate"],
+                        "avg episode reward - eval": stats["avg_episode_reward"],
+                        "avg best reward - eval": stats["avg_best_reward"],
+                        "num episode - eval": stats["num_episode_finished"],
+                    },
+                    step=self.itr,
+                    commit=False,
+                )
+                record["eval_success_rate"] = stats["success_rate"]
+                record["eval_episode_reward"] = stats["avg_episode_reward"]
+                record["eval_best_reward"] = stats["avg_best_reward"]
+            else:
+                diag_str = " | ".join(
+                    f"{k} {v:8.4f}"
+                    for k, v in diag.items()
+                    if isinstance(v, float)
+                )
+                log.info(
+                    "%d: step %8d | reward %8.4f | %s | t %8.2f",
+                    self.itr,
+                    cnt_train_step,
+                    stats["avg_episode_reward"],
+                    diag_str,
+                    t,
+                )
+                self.logger.log(
+                    {
+                        "total env step": cnt_train_step,
+                        "avg episode reward - train": stats["avg_episode_reward"],
+                        "num episode - train": stats["num_episode_finished"],
+                        **diag,
+                    },
+                    step=self.itr,
+                    commit=True,
+                )
+                record["train_episode_reward"] = stats["avg_episode_reward"]
+        self.logger.append_result(record)
+
+
+
 class TrainPPOAgent(TrainAgent):
     def __init__(self, cfg):
         super().__init__(cfg)

@@ -137,17 +137,24 @@ def _wrap(obj: Any) -> Any:
     return obj
 
 
+_INDEX_RE = re.compile(r"^([^\[\]]+)((?:\[\d+\])*)$")
+
+
 def _select(root: Any, dotted: str) -> Any:
     cur = root
     for part in dotted.split("."):
+        m = _INDEX_RE.match(part)
+        key, idx_str = (m.group(1), m.group(2)) if m else (part, "")
         if isinstance(cur, Mapping):
-            if part not in cur:
+            if key not in cur:
                 raise KeyError(f"interpolation key not found: {dotted!r}")
-            cur = cur[part]
+            cur = cur[key]
         elif isinstance(cur, list):
-            cur = cur[int(part)]
+            cur = cur[int(key)]
         else:
             raise KeyError(f"cannot descend into {type(cur)} for {dotted!r}")
+        for idx in re.findall(r"\[(\d+)\]", idx_str):
+            cur = cur[int(idx)]
     return cur
 
 

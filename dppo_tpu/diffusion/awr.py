@@ -1,0 +1,39 @@
+"""Advantage-weighted regression (AWR) for diffusion policies.
+
+Parity with `model/diffusion/diffusion_awr.py` (AWRDiffusion:14):
+RWR actor loss + a TD(λ)-target critic MSE (`loss_critic:28`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dppo_tpu.diffusion.rwr import RWRDiffusion
+
+
+class AWRParams(NamedTuple):
+    actor: Any
+    critic: Any
+
+
+class AWRDiffusion(RWRDiffusion):
+    def __init__(self, actor, critic, **kwargs: Any):
+        super().__init__(network=actor, **kwargs)
+        self.critic = critic
+
+    def init_awr_params(self, rng, cond: dict) -> AWRParams:
+        r_actor, r_critic = jax.random.split(rng)
+        return AWRParams(
+            actor=self.load_params(r_actor, cond=cond),
+            critic=self.critic.init(r_critic, cond),
+        )
+
+    def loss_critic(self, critic_params, obs, td_targets):
+        pred = self.critic.apply(critic_params, obs).reshape(-1)
+        return jnp.mean((pred - td_targets) ** 2)
+
+    def critic_value(self, params: AWRParams, cond) -> jnp.ndarray:
+        return self.critic.apply(params.critic, cond).reshape(-1)

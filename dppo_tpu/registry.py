@@ -30,9 +30,9 @@ TARGET_ALIASES: dict[str, str] = {
     "dppo.agent.finetune.train_ibrl_agent.TrainIBRLAgent": "dppo_tpu.agents.finetune_ibrl.TrainIBRLAgent",
     # ---- agents: eval ----
     "dppo.agent.eval.eval_diffusion_agent.EvalDiffusionAgent": "dppo_tpu.agents.eval_diffusion.EvalDiffusionAgent",
-    "dppo.agent.eval.eval_diffusion_img_agent.EvalImgDiffusionAgent": "dppo_tpu.agents.eval_diffusion_img.EvalImgDiffusionAgent",
+    "dppo.agent.eval.eval_diffusion_img_agent.EvalImgDiffusionAgent": "dppo_tpu.agents.eval_diffusion.EvalImgDiffusionAgent",
     "dppo.agent.eval.eval_gaussian_agent.EvalGaussianAgent": "dppo_tpu.agents.eval_gaussian.EvalGaussianAgent",
-    "dppo.agent.eval.eval_gaussian_img_agent.EvalImgGaussianAgent": "dppo_tpu.agents.eval_gaussian_img.EvalImgGaussianAgent",
+    "dppo.agent.eval.eval_gaussian_img_agent.EvalImgGaussianAgent": "dppo_tpu.agents.eval_gaussian.EvalImgGaussianAgent",
     # ---- diffusion models ----
     "dppo.model.diffusion.diffusion.DiffusionModel": "dppo_tpu.diffusion.core.DiffusionModel",
     "dppo.model.diffusion.diffusion_ppo.PPODiffusion": "dppo_tpu.diffusion.ppo.PPODiffusion",

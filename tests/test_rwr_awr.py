@@ -1,0 +1,143 @@
+"""End-to-end tests for RWR/AWR diffusion fine-tuning on the dummy env."""
+
+import jax
+import jax.numpy as jnp
+
+from dppo_tpu.config import Config, get_class
+from tests.test_agents_more import _env_cfg
+
+OBS, ACT = 5, 2
+
+_MODEL_COMMON = {
+    "denoised_clip_value": 1.0,
+    "randn_clip_value": 3,
+    "min_sampling_denoising_std": 0.1,
+    "network_path": None,
+    "horizon_steps": 2,
+    "obs_dim": OBS,
+    "action_dim": ACT,
+    "denoising_steps": 6,
+}
+
+_ACTOR = Config(
+    {
+        "_target_": "dppo.model.diffusion.mlp_diffusion.DiffusionMLP",
+        "time_dim": 8,
+        "mlp_dims": [32, 32, 32],
+        "activation_type": "ReLU",
+        "residual_style": True,
+        "cond_dim": OBS,
+        "horizon_steps": 2,
+        "action_dim": ACT,
+    }
+)
+
+
+def test_rwr_agent(tmp_path):
+    cfg = Config(
+        {
+            "_target_": "dppo.agent.finetune.train_rwr_diffusion_agent.TrainRWRDiffusionAgent",
+            "logdir": str(tmp_path / "log"),
+            "seed": 0,
+            "obs_dim": OBS,
+            "action_dim": ACT,
+            "cond_steps": 1,
+            "horizon_steps": 2,
+            "act_steps": 2,
+            "wandb": None,
+            "env": _env_cfg(),
+            "train": Config(
+                {
+                    "n_train_itr": 2,
+                    "n_steps": 8,
+                    "gamma": 0.99,
+                    "lr": 1e-4,
+                    "weight_decay": 0,
+                    "lr_scheduler": Config(
+                        {"first_cycle_steps": 10, "warmup_steps": 1, "min_lr": 1e-5}
+                    ),
+                    "beta": 10,
+                    "max_reward_weight": 100,
+                    "batch_size": 16,
+                    "update_epochs": 2,
+                    "save_model_freq": 10,
+                    "val_freq": 10,
+                }
+            ),
+            "model": Config(
+                {
+                    "_target_": "dppo.model.diffusion.diffusion_rwr.RWRDiffusion",
+                    "network": _ACTOR,
+                    **_MODEL_COMMON,
+                }
+            ),
+        }
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    assert agent.itr == 2
+    leaves = jax.tree_util.tree_leaves(agent.state.params)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+def test_awr_agent(tmp_path):
+    cfg = Config(
+        {
+            "_target_": "dppo.agent.finetune.train_awr_diffusion_agent.TrainAWRDiffusionAgent",
+            "logdir": str(tmp_path / "log"),
+            "seed": 0,
+            "obs_dim": OBS,
+            "action_dim": ACT,
+            "cond_steps": 1,
+            "horizon_steps": 2,
+            "act_steps": 2,
+            "wandb": None,
+            "env": _env_cfg(),
+            "train": Config(
+                {
+                    "n_train_itr": 2,
+                    "n_steps": 6,
+                    "gamma": 0.99,
+                    "n_critic_warmup_itr": 0,
+                    "actor_lr": 1e-4,
+                    "actor_weight_decay": 0,
+                    "actor_lr_scheduler": Config(
+                        {"first_cycle_steps": 10, "warmup_steps": 1, "min_lr": 1e-5}
+                    ),
+                    "critic_lr": 1e-3,
+                    "critic_weight_decay": 0,
+                    "critic_lr_scheduler": Config(
+                        {"first_cycle_steps": 10, "warmup_steps": 1, "min_lr": 1e-4}
+                    ),
+                    "beta": 10,
+                    "max_adv_weight": 100,
+                    "scale_reward_factor": 0.01,
+                    "buffer_size": 48,
+                    "batch_size": 16,
+                    "replay_ratio": 4,
+                    "critic_update_ratio": 2,
+                    "save_model_freq": 10,
+                    "val_freq": 10,
+                }
+            ),
+            "model": Config(
+                {
+                    "_target_": "dppo.model.diffusion.diffusion_awr.AWRDiffusion",
+                    "actor": _ACTOR,
+                    "critic": Config(
+                        {
+                            "_target_": "dppo.model.common.critic.CriticObs",
+                            "cond_dim": OBS,
+                            "mlp_dims": [32, 32],
+                        }
+                    ),
+                    **_MODEL_COMMON,
+                }
+            ),
+        }
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    assert agent.itr == 2
+    leaves = jax.tree_util.tree_leaves(agent.state.params.actor)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)

@@ -1,0 +1,205 @@
+"""End-to-end tests for the SAC family: SAC, RLPD, Cal-QL, IBRL."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dppo_tpu.config import Config, get_class
+from dppo_tpu.data.synthetic import make_synthetic_dataset
+from tests.test_agents_more import _env_cfg
+
+OBS, ACT = 5, 2
+
+_GAUSS_ACTOR = Config(
+    {
+        "_target_": "dppo.model.common.mlp_gaussian.Gaussian_MLP",
+        "mlp_dims": [32, 32],
+        "cond_dim": OBS,
+        "horizon_steps": 2,
+        "action_dim": ACT,
+        "tanh_output": False,
+        "std_min": 0.01,
+        "std_max": 0.3,
+    }
+)
+_CRITIC_QA = Config(
+    {
+        "_target_": "dppo.model.common.critic.CriticObsAct",
+        "cond_dim": OBS,
+        "mlp_dims": [32, 32],
+        "action_dim": ACT,
+        "action_steps": 2,
+    }
+)
+_CRITIC_SINGLE = Config(
+    {
+        "_target_": "dppo.model.common.critic.CriticObsAct",
+        "cond_dim": OBS,
+        "mlp_dims": [32, 32],
+        "action_dim": ACT,
+        "action_steps": 2,
+        "double_q": False,
+    }
+)
+
+
+def _sac_train(extra=None):
+    cfg = {
+        "n_train_itr": 12,
+        "n_steps": 1,
+        "gamma": 0.99,
+        "actor_lr": 3e-4,
+        "critic_lr": 1e-3,
+        "save_model_freq": 100,
+        "val_freq": 100,
+        "render": Config({"freq": 100, "num": 0}),
+        "target_ema_rate": 0.01,
+        "scale_reward_factor": 1.0,
+        "critic_replay_ratio": 8,
+        "actor_replay_ratio": 4,
+        "buffer_size": 200,
+        "batch_size": 8,
+        "n_eval_episode": 2,
+        "n_explore_steps": 4,
+        "target_entropy": -2.0,
+        "init_temperature": 1.0,
+    }
+    cfg.update(extra or {})
+    return Config(cfg)
+
+
+def _run(cfg_dict):
+    cfg = Config(cfg_dict)
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    leaves = jax.tree_util.tree_leaves(agent.state.params)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+    return agent
+
+
+def _base(tmp_path, target, model, train):
+    return {
+        "_target_": target,
+        "logdir": str(tmp_path / "log"),
+        "seed": 0,
+        "obs_dim": OBS,
+        "action_dim": ACT,
+        "cond_steps": 1,
+        "horizon_steps": 2,
+        "act_steps": 2,
+        "wandb": None,
+        "env": _env_cfg(),
+        "train": train,
+        "model": model,
+    }
+
+
+def test_sac_agent(tmp_path):
+    model = Config(
+        {
+            "_target_": "dppo.model.rl.gaussian_sac.SAC_Gaussian",
+            "actor": _GAUSS_ACTOR,
+            "critic": _CRITIC_QA,
+            "horizon_steps": 2,
+            "tanh_output": True,
+            "randn_clip_value": 10,
+            "network_path": None,
+        }
+    )
+    _run(
+        _base(
+            tmp_path,
+            "dppo.agent.finetune.train_sac_agent.TrainSACAgent",
+            model,
+            _sac_train(),
+        )
+    )
+
+
+def _offline_dataset(tmp_path, mc=False):
+    path = str(tmp_path / "offline.npz")
+    make_synthetic_dataset(
+        path, n_episodes=4, traj_length=30, obs_dim=OBS, action_dim=ACT,
+        with_rewards=True,
+    )
+    node = {
+        "_target_": "dppo.agent.dataset.sequence.StitchedSequenceQLearningDataset",
+        "dataset_path": path,
+        "horizon_steps": 2,
+        "cond_steps": 1,
+    }
+    if mc:
+        node["get_mc_return"] = True
+        node["discount_factor"] = 0.99
+    return Config(node)
+
+
+def test_rlpd_agent(tmp_path):
+    model = Config(
+        {
+            "_target_": "dppo.model.rl.gaussian_rlpd.RLPD_Gaussian",
+            "actor": _GAUSS_ACTOR,
+            "critic": _CRITIC_SINGLE,
+            "n_critics": 3,
+            "horizon_steps": 2,
+            "tanh_output": True,
+            "backup_entropy": True,
+            "network_path": None,
+        }
+    )
+    cfg = _base(
+        tmp_path,
+        "dppo.agent.finetune.train_rlpd_agent.TrainRLPDAgent",
+        model,
+        _sac_train({"critic_num_update": 2}),
+    )
+    cfg["offline_dataset"] = _offline_dataset(tmp_path)
+    _run(cfg)
+
+
+def test_calql_agent(tmp_path):
+    model = Config(
+        {
+            "_target_": "dppo.model.rl.gaussian_calql.CalQL_Gaussian",
+            "actor": _GAUSS_ACTOR,
+            "critic": _CRITIC_QA,
+            "horizon_steps": 2,
+            "tanh_output": True,
+            "cql_min_q_weight": 5.0,
+            "cql_n_actions": 3,
+            "network_path": None,
+        }
+    )
+    cfg = _base(
+        tmp_path,
+        "dppo.agent.finetune.train_calql_agent.TrainCalQLAgent",
+        model,
+        _sac_train(
+            {"train_online": True, "n_random_actions": 3, "num_update": 2}
+        ),
+    )
+    cfg["offline_dataset"] = _offline_dataset(tmp_path, mc=True)
+    _run(cfg)
+
+
+def test_ibrl_agent(tmp_path):
+    model = Config(
+        {
+            "_target_": "dppo.model.rl.gaussian_ibrl.IBRL_Gaussian",
+            "actor": _GAUSS_ACTOR,
+            "critic": _CRITIC_SINGLE,
+            "n_critics": 3,
+            "horizon_steps": 2,
+            "soft_action_sample": True,
+            "soft_action_sample_beta": 10,
+            "network_path": None,
+        }
+    )
+    cfg = _base(
+        tmp_path,
+        "dppo.agent.finetune.train_ibrl_agent.TrainIBRLAgent",
+        model,
+        _sac_train({"critic_num_update": 2, "update_freq": 2}),
+    )
+    _run(cfg)
