@@ -56,9 +56,12 @@ def main():
     out = sample_step(params, state_obs, rng)
     jax.block_until_ready(out)
 
-    # timed: many independent sampler calls (one per env macro-step)
+    # timed: many independent sampler calls (one per env macro-step);
+    # pre-materialize the per-call keys so the loop measures the sampler,
+    # not per-call device slicing of the key array
     n_iters = 200
-    rngs = jax.random.split(jax.random.key(2), n_iters)
+    rngs = list(jax.random.split(jax.random.key(2), n_iters))
+    jax.block_until_ready(rngs)
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = sample_step(params, state_obs, rngs[i])

@@ -44,20 +44,31 @@ def make_optimizer(lr_placeholder: float, weight_decay: float, max_grad_norm=Non
 
 
 def set_lr(opt_state, lr):
-    """Return opt_state with the injected learning rate replaced (jit-safe)."""
+    """Return opt_state with every injected learning rate replaced (jit-safe).
 
-    def fix(state):
+    Walks arbitrarily nested optimizer states (chains, MultiSteps wrappers)
+    looking for InjectHyperparamsState-like nodes."""
+
+    def walk(state):
         if hasattr(state, "hyperparams") and "learning_rate" in getattr(
             state, "hyperparams", {}
         ):
             hp = dict(state.hyperparams)
             hp["learning_rate"] = jnp.asarray(lr)
-            return state._replace(hyperparams=hp)
+            state = state._replace(hyperparams=hp)
+        if hasattr(state, "_fields"):  # NamedTuple: recurse into fields
+            return state._replace(
+                **{
+                    f: walk(getattr(state, f))
+                    for f in state._fields
+                    if isinstance(getattr(state, f), tuple)
+                }
+            )
+        if isinstance(state, tuple):
+            return tuple(walk(s) for s in state)
         return state
 
-    if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams"):
-        return tuple(fix(s) for s in opt_state)
-    return fix(opt_state)
+    return walk(opt_state)
 
 
 class TrainAgent(BaseAgent):

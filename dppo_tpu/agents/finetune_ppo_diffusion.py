@@ -39,6 +39,7 @@ import numpy as np
 import optax
 
 from dppo_tpu.agents.finetune_base import TrainPPOAgent, make_optimizer, set_lr
+from dppo_tpu.utils.profiling import PhaseTimer
 from dppo_tpu.utils.reward_scaling import RewardScalerState, scale_rewards
 from dppo_tpu.utils.scheduler import cosine_warmup_restarts
 from dppo_tpu.utils.timer import Timer
@@ -58,6 +59,8 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
     def __init__(self, cfg):
         super().__init__(cfg)
         self.reward_horizon = int(cfg.get("reward_horizon", self.act_steps))
+        # observation spec: state-only by default; img/vis subclasses widen
+        self.obs_dims = self._build_obs_dims()
         self.learn_eta = self.model.learn_eta
         self.eta_optimizer = None
         if self.learn_eta:
@@ -75,7 +78,10 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
 
         # --- init params and optimizer states ---
         example_obs = self.venv.reset_arg()
-        cond = {"state": jnp.asarray(example_obs["state"], dtype=jnp.float32)}
+        cond = {
+            k: jnp.asarray(example_obs[k], dtype=jnp.float32)
+            for k in self.obs_dims
+        }
         params = self.model.init_vpg_params(self.next_rng(), cond)
         self.update_state = UpdateState(
             params=params,
@@ -96,18 +102,31 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
         )
         self._jit_update = jax.jit(self._update)
 
+    def _update_call(self, *args):
+        """Dispatch the fused update and block so phase timing is real."""
+        state, diag = self._jit_update(*args)
+        jax.block_until_ready(diag)
+        return state, diag
+
+    def _build_obs_dims(self):
+        return {"state": (self.n_cond_step, self.obs_dim)}
+
+    def _augment_obs(self, obs_trajs: dict, rng) -> dict:
+        """Hook: rollout-buffer-level augmentation (img subclass)."""
+        return obs_trajs
+
     # ------------------------------------------------------------------
     # The fused on-device update program
     # ------------------------------------------------------------------
     def _update(
         self,
         state: UpdateState,
-        obs_trajs: jnp.ndarray,  # (S, E, To, Do)
+        obs_trajs: dict,  # {key: (S, E, To, ...)}
         chains_trajs: jnp.ndarray,  # (S, E, K_ft+1, Ta, Da)
         reward_trajs: jnp.ndarray,  # (S, E)
         terminated_trajs: jnp.ndarray,  # (S, E)
         firsts_trajs: jnp.ndarray,  # (S, E)
-        final_obs: jnp.ndarray,  # (E, To, Do)
+        final_obs: dict,  # {key: (E, To, ...)}
         rng: jax.Array,
         itr: jnp.ndarray,  # () int32
     ):
@@ -116,7 +135,11 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
         K_ft = self.K_ft
         SE = S * E
 
-        obs_flat = {"state": obs_trajs.reshape(SE, *obs_trajs.shape[2:])}
+        rng, aug_rng = jax.random.split(rng)
+        obs_trajs = self._augment_obs(obs_trajs, aug_rng)
+        obs_flat = {
+            k: v.reshape(SE, *v.shape[2:]) for k, v in obs_trajs.items()
+        }
         chains_flat = chains_trajs.reshape(SE, *chains_trajs.shape[2:])
 
         # --- critic values + old logprobs, full batch on device ---
@@ -139,9 +162,7 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
             scaler_state = state.reward_scaler
 
         # --- GAE backward scan (parity: :249-279) ---
-        next_value_last = model.critic_value(
-            state.params, {"state": final_obs}
-        )  # (E,)
+        next_value_last = model.critic_value(state.params, final_obs)  # (E,)
 
         def gae_step(lastgaelam, xs):
             reward_t, value_t, nextvalue_t, term_t = xs
@@ -225,7 +246,7 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
             inds_b, bc_rng = xs
             batch_inds = inds_b // K_ft
             denoise_inds = inds_b % K_ft
-            obs_b = {"state": obs_flat["state"][batch_inds]}
+            obs_b = {k: v[batch_inds] for k, v in obs_flat.items()}
             cp = chains_flat[batch_inds, denoise_inds]
             cn = chains_flat[batch_inds, denoise_inds + 1]
             olp_b = oldlogprobs[batch_inds, denoise_inds]
@@ -365,6 +386,7 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
     # ------------------------------------------------------------------
     def run(self):
         timer = Timer()
+        phase_timer = PhaseTimer()
         cnt_train_step = 0
         last_itr_eval = False
         done_venv = np.zeros(self.n_envs, dtype=bool)
@@ -395,10 +417,13 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
                 firsts_trajs[0] = done_venv
             last_itr_eval = eval_mode
 
-            obs_trajs = np.zeros(
-                (self.n_steps, self.n_envs, self.n_cond_step, self.obs_dim),
-                dtype=np.float32,
-            )
+            obs_trajs = {
+                k: np.zeros(
+                    (self.n_steps, self.n_envs) + tuple(shape),
+                    dtype=np.float32,
+                )
+                for k, shape in self.obs_dims.items()
+            }
             chains_trajs = np.zeros(
                 (
                     self.n_steps,
@@ -425,20 +450,25 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
 
             for step in range(self.n_steps):
                 cond = {
-                    "state": jnp.asarray(
-                        prev_obs_venv["state"], dtype=jnp.float32
-                    )
+                    k: jnp.asarray(prev_obs_venv[k], dtype=jnp.float32)
+                    for k in self.obs_dims
                 }
-                samples = self._jit_sample(
-                    self.update_state.params, cond, self.next_rng(), eval_mode
-                )
-                output_venv = np.asarray(samples.trajectories)
-                chains_venv = np.asarray(samples.chains)
+                with phase_timer.phase("sample"):
+                    samples = self._jit_sample(
+                        self.update_state.params, cond, self.next_rng(), eval_mode
+                    )
+                    output_venv = np.asarray(samples.trajectories)
+                    chains_venv = np.asarray(samples.chains)
                 action_venv = output_venv[:, : self.act_steps]
 
-                obs_venv, reward_venv, terminated_venv, truncated_venv, info_venv = (
-                    self.venv.step(action_venv)
-                )
+                with phase_timer.phase("env"):
+                    (
+                        obs_venv,
+                        reward_venv,
+                        terminated_venv,
+                        truncated_venv,
+                        info_venv,
+                    ) = self.venv.step(action_venv)
                 done_venv = terminated_venv | truncated_venv
                 if self.save_full_observations:
                     obs_full_venv = np.array(
@@ -447,7 +477,8 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
                     obs_full_trajs = np.vstack(
                         (obs_full_trajs, obs_full_venv.transpose(1, 0, 2))
                     )
-                obs_trajs[step] = prev_obs_venv["state"]
+                for k in self.obs_dims:
+                    obs_trajs[k][step] = prev_obs_venv[k]
                 chains_trajs[step] = chains_venv
                 reward_trajs[step] = reward_venv
                 terminated_trajs[step] = terminated_venv
@@ -461,18 +492,37 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
 
             diag = {}
             if not eval_mode:
-                self.update_state, diag = self._jit_update(
+                with phase_timer.phase("update"):
+                    self.update_state, diag = self._update_call(
                     self.update_state,
-                    jnp.asarray(obs_trajs),
+                    {k: jnp.asarray(v) for k, v in obs_trajs.items()},
                     jnp.asarray(chains_trajs),
                     jnp.asarray(reward_trajs),
                     jnp.asarray(terminated_trajs),
                     jnp.asarray(firsts_trajs[:-1]),
-                    jnp.asarray(prev_obs_venv["state"], dtype=jnp.float32),
+                    {
+                        k: jnp.asarray(prev_obs_venv[k], dtype=jnp.float32)
+                        for k in self.obs_dims
+                    },
                     self.next_rng(),
                     jnp.asarray(self.itr, dtype=jnp.int32),
                 )
                 diag = {k: float(v) for k, v in diag.items()}
+                times = phase_timer.summary()
+                iter_wall = sum(
+                    times.get(f"time/{p}", 0.0) for p in ("sample", "env", "update")
+                )
+                if iter_wall > 0:
+                    diag["env_steps_per_s"] = (
+                        self.n_steps * self.n_envs * self.act_steps / iter_wall
+                    )
+                    diag["denoise_steps_per_s"] = (
+                        self.n_steps
+                        * self.n_envs
+                        * self.model.n_sampling_steps
+                        / max(times.get("time/sample", 1e-9), 1e-9)
+                    )
+                diag.update(times)
 
             if (
                 self.itr % self.render_freq == 0

@@ -31,8 +31,12 @@ log = logging.getLogger(__name__)
 class TrainPPOGaussianAgent(TrainPPOAgent):
     def __init__(self, cfg):
         super().__init__(cfg)
+        self.obs_dims = self._build_obs_dims()
         example_obs = self.venv.reset_arg()
-        cond = {"state": jnp.asarray(example_obs["state"], dtype=jnp.float32)}
+        cond = {
+            k: jnp.asarray(example_obs[k], dtype=jnp.float32)
+            for k in self.obs_dims
+        }
         params = self.model.init_vpg_params(self.next_rng(), cond)
         self.update_state = UpdateState(
             params=params,
@@ -50,22 +54,32 @@ class TrainPPOGaussianAgent(TrainPPOAgent):
         )
         self._jit_update = jax.jit(self._update)
 
+    def _build_obs_dims(self):
+        return {"state": (self.n_cond_step, self.obs_dim)}
+
+    def _augment_obs(self, obs_trajs: dict, rng) -> dict:
+        return obs_trajs
+
     def _update(
         self,
         state: UpdateState,
-        obs_trajs,  # (S, E, To, Do)
+        obs_trajs,  # {key: (S, E, To, ...)}
         samples_trajs,  # (S, E, Ta, Da)
         reward_trajs,  # (S, E)
         terminated_trajs,
         firsts_trajs,
-        final_obs,  # (E, To, Do)
+        final_obs,  # {key: (E, To, ...)}
         rng,
         itr,
     ):
         model = self.model
         S, E = reward_trajs.shape
         SE = S * E
-        obs_flat = {"state": obs_trajs.reshape(SE, *obs_trajs.shape[2:])}
+        rng, aug_rng = jax.random.split(rng)
+        obs_trajs = self._augment_obs(obs_trajs, aug_rng)
+        obs_flat = {
+            k: v.reshape(SE, *v.shape[2:]) for k, v in obs_trajs.items()
+        }
         samples_flat = samples_trajs.reshape(SE, *samples_trajs.shape[2:])
 
         values_flat = model.critic_value(state.params, obs_flat)
@@ -80,7 +94,7 @@ class TrainPPOGaussianAgent(TrainPPOAgent):
         else:
             scaler_state = state.reward_scaler
 
-        next_value_last = model.critic_value(state.params, {"state": final_obs})
+        next_value_last = model.critic_value(state.params, final_obs)
 
         def gae_step(lastgaelam, xs):
             reward_t, value_t, nextvalue_t, term_t = xs
@@ -147,7 +161,7 @@ class TrainPPOGaussianAgent(TrainPPOAgent):
         def minibatch_step(carry, xs):
             params, a_opt, c_opt, stop = carry
             inds_b, bc_rng = xs
-            obs_b = {"state": obs_flat["state"][inds_b]}
+            obs_b = {k: v[inds_b] for k, v in obs_flat.items()}
             grads, aux = jax.grad(loss_fn, has_aux=True)(
                 params,
                 obs_b,
@@ -261,10 +275,13 @@ class TrainPPOGaussianAgent(TrainPPOAgent):
                 firsts_trajs[0] = done_venv
             last_itr_eval = eval_mode
 
-            obs_trajs = np.zeros(
-                (self.n_steps, self.n_envs, self.n_cond_step, self.obs_dim),
-                dtype=np.float32,
-            )
+            obs_trajs = {
+                k: np.zeros(
+                    (self.n_steps, self.n_envs) + tuple(shape),
+                    dtype=np.float32,
+                )
+                for k, shape in self.obs_dims.items()
+            }
             samples_trajs = np.zeros(
                 (self.n_steps, self.n_envs, self.horizon_steps, self.action_dim),
                 dtype=np.float32,
@@ -276,7 +293,8 @@ class TrainPPOGaussianAgent(TrainPPOAgent):
 
             for step in range(self.n_steps):
                 cond = {
-                    "state": jnp.asarray(prev_obs_venv["state"], jnp.float32)
+                    k: jnp.asarray(prev_obs_venv[k], jnp.float32)
+                    for k in self.obs_dims
                 }
                 action_samples = self._jit_sample(
                     self.update_state.params, cond, self.next_rng(), eval_mode
@@ -287,7 +305,8 @@ class TrainPPOGaussianAgent(TrainPPOAgent):
                     self.venv.step(action_venv)
                 )
                 done_venv = terminated_venv | truncated_venv
-                obs_trajs[step] = prev_obs_venv["state"]
+                for k in self.obs_dims:
+                    obs_trajs[k][step] = prev_obs_venv[k]
                 samples_trajs[step] = output_venv
                 reward_trajs[step] = reward_venv
                 terminated_trajs[step] = terminated_venv
@@ -302,12 +321,15 @@ class TrainPPOGaussianAgent(TrainPPOAgent):
             if not eval_mode:
                 self.update_state, diag = self._jit_update(
                     self.update_state,
-                    jnp.asarray(obs_trajs),
+                    {k: jnp.asarray(v) for k, v in obs_trajs.items()},
                     jnp.asarray(samples_trajs),
                     jnp.asarray(reward_trajs),
                     jnp.asarray(terminated_trajs),
                     jnp.asarray(firsts_trajs[:-1]),
-                    jnp.asarray(prev_obs_venv["state"], jnp.float32),
+                    {
+                        k: jnp.asarray(prev_obs_venv[k], jnp.float32)
+                        for k in self.obs_dims
+                    },
                     self.next_rng(),
                     jnp.asarray(self.itr, dtype=jnp.int32),
                 )

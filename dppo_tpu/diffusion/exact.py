@@ -1,0 +1,208 @@
+"""PPO with exact diffusion log-likelihood via the probability-flow ODE.
+
+Parity with `model/diffusion/diffusion_ppo_exact.py` (PPOExactDiffusion:21)
+and `exact_likelihood.py` (get_likelihood_fn:15): the log-density of the
+final sampled action is computed by integrating the reverse ODE jointly
+with a Hutchinson trace estimate of the divergence; the base/ft actor is
+selected by integration time (`exact_likelihood.py:134-137`); PPO loss on
+that flat per-action log-prob.
+
+TPU adaptations (intentional, documented deviations):
+  - torchdiffeq's adaptive RK23/RK45 becomes a fixed-grid RK4 over
+    [sde_eps, 1] with `sde_int_steps` steps — static shapes and one
+    `lax.scan`, no data-dependent step control.
+  - the divergence ε·(∂f/∂x)ε uses `jax.jvp` (one forward-over-reverse
+    product) instead of torch autograd.grad.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dppo_tpu.diffusion.vpg import VPGDiffusion, VPGParams, tree_select
+
+
+class PPOExactDiffusion(VPGDiffusion):
+    def __init__(
+        self,
+        sde,
+        clip_ploss_coef: float,
+        clip_vloss_coef: Optional[float] = None,
+        norm_adv: bool = True,
+        sde_hutchinson_type: str = "Rademacher",
+        sde_rtol: float = 1e-4,  # accepted for config parity (fixed-grid RK4)
+        sde_atol: float = 1e-4,
+        sde_eps: float = 1e-4,
+        sde_step_size: float = 1e-3,
+        sde_method: str = "RK23",
+        sde_continuous: bool = False,
+        sde_probability_flow: bool = False,
+        sde_num_epsilon: int = 1,
+        sde_min_beta: float = 1e-2,
+        sde_int_steps: int = 20,
+        **kwargs: Any,
+    ):
+        super().__init__(**kwargs)
+        self.sde = sde
+        self.sde.set_betas(self.ddpm.betas, sde_min_beta)
+        self.clip_ploss_coef = clip_ploss_coef
+        self.clip_vloss_coef = clip_vloss_coef
+        self.norm_adv = norm_adv
+        self.hutchinson_type = sde_hutchinson_type
+        self.sde_eps = sde_eps
+        self.probability_flow = sde_probability_flow
+        self.num_epsilon = int(sde_num_epsilon)
+        self.int_steps = int(sde_int_steps)
+
+    # ---------- exact likelihood ----------
+    def get_exact_logprobs(self, params: VPGParams, cond, samples, rng=None):
+        """samples: (B, Ta, Da) -> logprob in bits/dim (B,).
+
+        Parity: exact_likelihood.py:86-190. `rng` draws the Hutchinson
+        probe; defaults to a fixed key (deterministic estimator).
+        """
+        if rng is None:
+            rng = jax.random.key(0)
+        B, H, A = samples.shape
+        if self.hutchinson_type == "Gaussian":
+            epsilon = jax.random.normal(rng, (B, H, A))
+        else:  # Rademacher
+            epsilon = (
+                jax.random.randint(rng, (B, H, A), 0, 2).astype(jnp.float32)
+                * 2.0
+                - 1.0
+            )
+
+        N = self.denoising_steps
+
+        def drift_of(x_flat, t_scalar):
+            x = x_flat.reshape(B, H, A)
+            vec_t = jnp.full(
+                (B,), jnp.round(t_scalar * N).astype(jnp.int32)
+            )
+            vec_t = jnp.clip(vec_t, 0, N - 1)
+            use_ft = jnp.round(t_scalar * N) <= self.ft_denoising_steps
+            actor_params = tree_select(use_ft, params.actor_ft, params.actor)
+            eps_pred = self.network.apply(actor_params, x, vec_t, cond)
+            drift = self.sde.reverse_drift(
+                x, vec_t, eps_pred,
+                predict_epsilon=self.predict_epsilon,
+                probability_flow=self.probability_flow,
+            )
+            return drift.reshape(B, H * A)
+
+        def ode_fn(t_scalar, state):
+            x_flat, _ = state
+            drift, jvp_out = jax.jvp(
+                lambda xf: drift_of(xf, t_scalar),
+                (x_flat,),
+                (epsilon.reshape(B, H * A),),
+            )
+            div = jnp.sum(
+                jvp_out * epsilon.reshape(B, H * A), axis=-1
+            )
+            return drift, div
+
+        # fixed-grid RK4 from sde_eps to T=1
+        t0, t1 = self.sde_eps, 1.0
+        dt = (t1 - t0) / self.int_steps
+
+        def rk4_step(state, i):
+            t = t0 + i * dt
+            k1 = ode_fn(t, state)
+            s2 = (state[0] + 0.5 * dt * k1[0], state[1] + 0.5 * dt * k1[1])
+            k2 = ode_fn(t + 0.5 * dt, s2)
+            s3 = (state[0] + 0.5 * dt * k2[0], state[1] + 0.5 * dt * k2[1])
+            k3 = ode_fn(t + 0.5 * dt, s3)
+            s4 = (state[0] + dt * k3[0], state[1] + dt * k3[1])
+            k4 = ode_fn(t + dt, s4)
+            new_x = state[0] + dt / 6.0 * (
+                k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0]
+            )
+            new_l = state[1] + dt / 6.0 * (
+                k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1]
+            )
+            return (new_x, new_l), None
+
+        init = (samples.reshape(B, H * A), jnp.zeros((B,)))
+        (z_flat, delta_logp), _ = jax.lax.scan(
+            rk4_step, init, jnp.arange(self.int_steps, dtype=jnp.float32)
+        )
+        z = z_flat.reshape(B, H, A)
+        prior_logp = self.sde.prior_logp(z)
+        n = H * A
+        return (prior_logp + delta_logp) / (math.log(2) * n)
+
+    # interface shared with the Gaussian PPO trainer: (logprob, ent, std)
+    def get_flat_logprobs(self, params, cond, samples, rng=None):
+        lp = self.get_exact_logprobs(params, cond, samples, rng)
+        return lp, jnp.asarray(0.0), jnp.asarray(0.0)
+
+    # the Gaussian-PPO trainer skeleton calls `get_logprobs(params, cond,
+    # actions)`; for exact PPO that's the flat ODE likelihood (the chain
+    # variant from VPGDiffusion is unused here)
+    get_logprobs = get_flat_logprobs
+
+    # ---------- PPO loss on the exact flat logprob ----------
+    def loss(
+        self,
+        params: VPGParams,
+        obs,
+        samples,
+        returns,
+        oldvalues,
+        advantages,
+        oldlogprobs,
+        use_bc_loss: bool = False,
+        bc_rng=None,
+        **kwargs,
+    ):
+        if use_bc_loss:
+            raise NotImplementedError("BC loss not supported for exact PPO")
+        newlogprobs = self.get_exact_logprobs(params, obs, samples, bc_rng)
+        newlogprobs = jnp.clip(newlogprobs, -5.0, 2.0)
+        oldlogprobs = jnp.clip(oldlogprobs, -5.0, 2.0)
+        logratio = newlogprobs - oldlogprobs
+        ratio = jnp.exp(logratio)
+        approx_kl = jax.lax.stop_gradient(jnp.mean((ratio - 1.0) - logratio))
+        clipfrac = jax.lax.stop_gradient(
+            jnp.mean(
+                (jnp.abs(ratio - 1.0) > self.clip_ploss_coef).astype(
+                    jnp.float32
+                )
+            )
+        )
+        if self.norm_adv:
+            advantages = (advantages - advantages.mean()) / (
+                advantages.std() + 1e-8
+            )
+        pg_loss1 = -advantages * ratio
+        pg_loss2 = -advantages * jnp.clip(
+            ratio, 1.0 - self.clip_ploss_coef, 1.0 + self.clip_ploss_coef
+        )
+        pg_loss = jnp.mean(jnp.maximum(pg_loss1, pg_loss2))
+        newvalues = self.critic.apply(params.critic, obs).reshape(-1)
+        if self.clip_vloss_coef is not None:
+            v_unclipped = (newvalues - returns) ** 2
+            v_clipped_pred = oldvalues + jnp.clip(
+                newvalues - oldvalues, -self.clip_vloss_coef, self.clip_vloss_coef
+            )
+            v_loss = 0.5 * jnp.mean(
+                jnp.maximum(v_unclipped, (v_clipped_pred - returns) ** 2)
+            )
+        else:
+            v_loss = 0.5 * jnp.mean((newvalues - returns) ** 2)
+        return (
+            pg_loss,
+            jnp.asarray(0.0),  # entropy (fixed for diffusion)
+            v_loss,
+            clipfrac,
+            approx_kl,
+            jnp.mean(ratio),
+            jnp.asarray(0.0),  # bc loss
+            jnp.asarray(0.0),  # std/eta slot
+        )

@@ -54,11 +54,14 @@ class EnvFactory:
 
     def __call__(self):
         wrappers = self.wrappers
-        if self.env_type == "dummy" or "dummy_lowdim" in wrappers:
-            cfg = dict(wrappers.get("dummy_lowdim", {}))
+        if self.env_type == "dummy" or "dummy_lowdim" in wrappers or (
+            "dummy_img" in wrappers
+        ):
+            key = "dummy_img" if "dummy_img" in wrappers else "dummy_lowdim"
+            cfg = dict(wrappers.get(key, {}))
             cfg.setdefault("obs_dim", self.obs_dim)
             cfg.setdefault("action_dim", self.action_dim)
-            env = get_wrapper("dummy_lowdim")(None, **cfg)
+            env = get_wrapper(key)(None, **cfg)
         elif self.env_type == "robomimic" or "robomimic_lowdim" in wrappers or (
             "robomimic_image" in wrappers
         ):

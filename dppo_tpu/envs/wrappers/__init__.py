@@ -1,11 +1,12 @@
 """Task wrapper registry (parity: `env/gym_utils/wrapper/__init__.py:8-14`)."""
 
 from dppo_tpu.envs.wrappers.mujoco_locomotion import MujocoLocomotionLowdimWrapper
-from dppo_tpu.envs.wrappers.dummy import DummyLowdimWrapper
+from dppo_tpu.envs.wrappers.dummy import DummyImgWrapper, DummyLowdimWrapper
 
 WRAPPERS = {
     "mujoco_locomotion_lowdim": MujocoLocomotionLowdimWrapper,
     "dummy_lowdim": DummyLowdimWrapper,
+    "dummy_img": DummyImgWrapper,
 }
 
 

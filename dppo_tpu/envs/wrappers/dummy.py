@@ -74,3 +74,30 @@ class _BoxLike:
 
     def sample(self):
         return np.zeros(self.shape, dtype=np.float32)
+
+
+class DummyImgWrapper(DummyLowdimWrapper):
+    """Dummy env with pixel observations: renders state into a small image."""
+
+    def __init__(self, env=None, obs_dim=5, action_dim=2, img_h=32, img_w=32,
+                 **kwargs):
+        super().__init__(env, obs_dim=obs_dim, action_dim=action_dim, **kwargs)
+        self.img_h = img_h
+        self.img_w = img_w
+
+    def _render_obs(self, obs):
+        # deterministic "image" of the state: outer-product pattern in [0,255]
+        s = obs["state"]
+        v = np.tanh(s @ self.W)  # (action_dim,)
+        row = np.linspace(-1, 1, self.img_w, dtype=np.float32)
+        img = np.outer(np.linspace(-1, 1, self.img_h), row)[None] * v[0]
+        img = np.repeat(img, 3, axis=0)
+        img = ((img + 1) * 127.5).astype(np.float32)
+        return {"state": obs["state"], "rgb": img}
+
+    def reset(self, seed=None, options=None):
+        return self._render_obs(super().reset(seed=seed, options=options))
+
+    def step(self, action):
+        obs, r, term, trunc, info = super().step(action)
+        return self._render_obs(obs), r, term, trunc, info

@@ -81,7 +81,7 @@ class Upsample1d(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, T, C) -> (B, 2T, C)
         return nn.ConvTranspose(
-            self.dim, kernel_size=(4,), strides=(2,), padding=1, dtype=self.dtype
+            self.dim, kernel_size=(4,), strides=(2,), padding="SAME", dtype=self.dtype
         )(x)
 
 

@@ -86,6 +86,7 @@ TARGET_ALIASES: dict[str, str] = {
     "dppo.model.rl.gaussian_rlpd.RLPD_Gaussian": "dppo_tpu.models.gaussian_rlpd.RLPDGaussian",
     "dppo.model.rl.gaussian_calql.CalQL_Gaussian": "dppo_tpu.models.gaussian_calql.CalQLGaussian",
     "dppo.model.rl.gaussian_ibrl.IBRL_Gaussian": "dppo_tpu.models.gaussian_ibrl.IBRLGaussian",
+    "dppo.model.diffusion.sde_lib.VPSDE": "dppo_tpu.diffusion.sde.VPSDE",
     # ---- data ----
     "dppo.agent.dataset.sequence.StitchedSequenceDataset": "dppo_tpu.data.sequence.StitchedSequenceDataset",
     "dppo.agent.dataset.sequence.StitchedSequenceQLearningDataset": "dppo_tpu.data.sequence.StitchedSequenceQLearningDataset",
