@@ -94,6 +94,11 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
         )
 
         self.K_ft = self.model.ft_denoising_steps
+        # full-state resume (params, optimizers, reward scaler, rng, itr) —
+        # strictly beyond the reference's weights-only restart (SURVEY §5.4)
+        resume_itr = cfg.train.get("resume_itr")
+        if resume_itr is not None:
+            self.resume_full_state(int(resume_itr))
         self._jit_sample = jax.jit(
             lambda p, c, r, det: self.model.sample(
                 p, c, r, deterministic=det, return_chain=True
@@ -110,6 +115,32 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
 
     def _build_obs_dims(self):
         return {"state": (self.n_cond_step, self.obs_dim)}
+
+    # ---- exact resume: the complete training state in one checkpoint ----
+    def save_full_state(self):
+        from dppo_tpu.utils.ckpt import save_checkpoint
+
+        path = os.path.join(self.checkpoint_dir, f"full_state_{self.itr}.pkl")
+        save_checkpoint(
+            path,
+            {
+                "itr": self.itr,
+                "update_state": self.update_state,
+                "rng": jax.random.key_data(self.rng),
+            },
+        )
+
+    def resume_full_state(self, itr: int):
+        from dppo_tpu.utils.ckpt import load_checkpoint
+
+        path = os.path.join(self.checkpoint_dir, f"full_state_{itr}.pkl")
+        data = load_checkpoint(path)
+        self.itr = int(data["itr"]) + 1
+        self.update_state = jax.tree_util.tree_map(
+            jnp.asarray, data["update_state"]
+        )
+        self.rng = jax.random.wrap_key_data(jnp.asarray(data["rng"]))
+        log.info("Resumed full train state from %s (itr %d)", path, self.itr)
 
     def _augment_obs(self, obs_trajs: dict, rng) -> dict:
         """Hook: rollout-buffer-level augmentation (img subclass)."""
@@ -550,6 +581,7 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
 
             if self.itr % self.save_model_freq == 0 or self.itr == self.n_train_itr - 1:
                 self.save_model(self.update_state.params)
+                self.save_full_state()
 
             self._log_iteration(
                 eval_mode, episode_stats, diag, cnt_train_step, timer

@@ -119,10 +119,52 @@ def make_async(
     **kwargs,
 ):
     if env_type == "furniture":
-        raise NotImplementedError(
-            "Furniture-Bench requires IsaacGym (CUDA), which has no TPU-host "
-            "port; plug a batched GPU env server behind the VectorEnv API "
-            "instead (SURVEY §2.9)."
+        # GPU-batched IsaacGym branch (parity: env/gym_utils/__init__.py:73-108)
+        try:
+            from furniture_bench.envs.furniture_rl_sim_env import (
+                FurnitureRLSimEnv,
+            )
+            from furniture_bench.envs.observation import DEFAULT_STATE_OBS
+        except ImportError as e:
+            raise NotImplementedError(
+                "Furniture-Bench requires IsaacGym (CUDA), which is not "
+                "installed on this TPU host; run the env server on a GPU "
+                "host behind this same wrapper API (SURVEY §2.9)."
+            ) from e
+        from dppo_tpu.envs.wrappers.furniture import (
+            FurnitureRLSimEnvMultiStepWrapper,
+        )
+
+        env = FurnitureRLSimEnv(
+            act_rot_repr="rot_6d",
+            action_type="pos",
+            april_tags=False,
+            concat_robot_state=True,
+            ctrl_mode="diffik",
+            obs_keys=DEFAULT_STATE_OBS,
+            furniture=kwargs.get("furniture"),
+            gpu_id=kwargs.get("gpu_id", 0),
+            headless=kwargs.get("headless", True),
+            num_envs=num_envs,
+            observation_space="state",
+            randomness=kwargs.get("randomness", "low"),
+            max_env_steps=max_episode_steps,
+            record=kwargs.get("record", False),
+            pos_scalar=1,
+            rot_scalar=1,
+            stiffness=1_000,
+            damping=200,
+        )
+        return FurnitureRLSimEnvMultiStepWrapper(
+            env,
+            n_obs_steps=kwargs.get("obs_steps", 1),
+            n_action_steps=kwargs.get("act_steps", 1),
+            max_episode_steps=max_episode_steps,
+            prev_action=False,
+            reset_within_step=False,
+            pass_full_observations=False,
+            normalization_path=kwargs.get("normalization_path"),
+            sparse_reward=kwargs.get("sparse_reward", False),
         )
     fn = EnvFactory(
         env_name,

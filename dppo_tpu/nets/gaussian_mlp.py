@@ -196,3 +196,65 @@ class GaussianVisionMLP(nn.Module):
         if self.tanh_output:
             mean = jnp.tanh(mean)
         return mean, jnp.broadcast_to(scale, (B, output_dim))
+
+
+class GaussianPointMLP(nn.Module):
+    """Point-cloud encoder + proprio Gaussian head (fork-added,
+    `mlp_gaussian.py:15` Gaussian_PointMLP)."""
+
+    backbone: nn.Module
+    action_dim: int
+    horizon_steps: int
+    cond_dim: int
+    spatial_emb: int = 0
+    pnt_cond_steps: int = 1
+    mlp_dims: Sequence[int] = (256, 256, 256)
+    activation_type: str = "Mish"
+    residual_style: bool = False
+    use_layernorm: bool = False
+    fixed_std: Optional[float] = None
+    learn_fixed_std: bool = False
+    std_min: float = 0.01
+    std_max: float = 1.0
+
+    @nn.compact
+    def __call__(self, cond, *, aug_rng=None, **kwargs):
+        B = cond["state"].shape[0]
+        state = cond["state"].reshape(B, -1)
+        pnt = cond["point"][:, -self.pnt_cond_steps :]
+        feat = self.backbone(pnt, aug_rng=aug_rng)
+        x = jnp.concatenate([feat, state], axis=-1)
+        output_dim = self.action_dim * self.horizon_steps
+        model = ResidualMLP if self.residual_style else MLP
+        logvar_min = math.log(self.std_min**2)
+        logvar_max = math.log(self.std_max**2)
+        mean = model(
+            [x.shape[-1]] + list(self.mlp_dims) + [output_dim],
+            activation_type=self.activation_type,
+            out_activation_type="Identity",
+            use_layernorm=self.use_layernorm,
+        )(x)
+        mean = jnp.tanh(mean)
+        if self.learn_fixed_std:
+            logvar = self.param(
+                "logvar",
+                lambda rng: jnp.full(
+                    (self.action_dim,), math.log(self.fixed_std**2)
+                ),
+            )
+            logvar = jnp.clip(logvar, logvar_min, logvar_max)
+            scale = jnp.tile(
+                jnp.exp(0.5 * logvar)[None, :], (B, self.horizon_steps)
+            )
+        elif self.fixed_std is not None:
+            scale = jnp.full_like(mean, self.fixed_std)
+        else:
+            logvar = MLP(
+                [x.shape[-1]] + list(self.mlp_dims[-1:]) + [output_dim],
+                activation_type=self.activation_type,
+                out_activation_type="Identity",
+                use_layernorm=self.use_layernorm,
+            )(x)
+            logvar = jnp.clip(logvar, logvar_min, logvar_max)
+            scale = jnp.exp(0.5 * logvar)
+        return mean, jnp.broadcast_to(scale, (B, output_dim))

@@ -45,10 +45,10 @@ TARGET_ALIASES: dict[str, str] = {
     "dppo.model.diffusion.diffusion_idql.IDQLDiffusion": "dppo_tpu.diffusion.idql.IDQLDiffusion",
     "dppo.model.diffusion.diffusion_qsm.QSMDiffusion": "dppo_tpu.diffusion.qsm.QSMDiffusion",
     "dppo.model.diffusion.diffusion_eval.DiffusionEval": "dppo_tpu.diffusion.eval.DiffusionEval",
+    "dppo.model.diffusion.diffusion_eval_ft.DiffusionEval": "dppo_tpu.diffusion.eval.DiffusionEval",
     # ---- denoiser networks ----
     "dppo.model.diffusion.mlp_diffusion.DiffusionMLP": "dppo_tpu.nets.diffusion_mlp.DiffusionMLP",
     "dppo.model.diffusion.mlp_diffusion.VisionDiffusionMLP": "dppo_tpu.nets.diffusion_mlp.VisionDiffusionMLP",
-    "dppo.model.diffusion.mlp_diffusion.PointDiffusionMLP": "dppo_tpu.nets.diffusion_mlp.PointDiffusionMLP",
     "dppo.model.diffusion.unet.Unet1D": "dppo_tpu.nets.unet.Unet1D",
     "dppo.model.diffusion.unet.VisionUnet1D": "dppo_tpu.nets.unet.VisionUnet1D",
     "dppo.model.diffusion.unet.PointUnet1D": "dppo_tpu.nets.unet.PointUnet1D",

@@ -58,9 +58,41 @@ def main(argv=None):
     logdir = cfg.get("logdir")
     if logdir:
         os.makedirs(logdir, exist_ok=True)
+    ensure_assets(cfg)
     cls = get_class(cfg._target_)
     agent = cls(cfg)
     agent.run()
+
+
+def ensure_assets(cfg) -> None:
+    """Check (and, when a URL is registered, fetch) run assets.
+
+    Parity with the launcher's lazy auto-download (`script/run.py:48-78`):
+    the reference pulls datasets / normalization stats / pretrained
+    checkpoints from Google Drive. On zero-egress hosts this surfaces an
+    actionable local-generation recipe instead of a FileNotFoundError deep
+    inside the agent.
+    """
+    from dppo_tpu.scripts import download_url as du
+
+    checks = [
+        ("train_dataset_path", du.get_dataset_download_url),
+        ("normalization_path", du.get_normalization_download_url),
+        ("base_policy_path", du.get_checkpoint_download_url),
+    ]
+    for key, get_url in checks:
+        path = cfg.get(key)
+        if not path or os.path.exists(str(path)):
+            continue
+        try:
+            url = get_url(cfg)
+        except LookupError as e:
+            raise FileNotFoundError(f"{key}={path} does not exist. {e}") from e
+        import urllib.request
+
+        os.makedirs(os.path.dirname(str(path)), exist_ok=True)
+        logging.getLogger(__name__).info("Downloading %s -> %s", url, path)
+        urllib.request.urlretrieve(url, str(path))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,149 @@
+"""Tests for inventory-completion pieces: D3IL loaders, LinearNormalizer,
+furniture wrapper math, download registry, full-state resume."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from dppo_tpu.data.d3il_dataset import (
+    AvoidingDataset,
+    to_stitched_npz,
+)
+from dppo_tpu.envs.furniture_normalizer import LinearNormalizer
+from dppo_tpu.envs.wrappers.furniture import (
+    proprioceptive_quat_to_6d_rotation,
+    stack_last_n_obs_dict,
+)
+
+
+def _make_avoiding_pickles(tmp_path, n=3, T=30):
+    rng = np.random.default_rng(0)
+    d = tmp_path / "demos"
+    d.mkdir()
+    for i in range(n):
+        env_state = {
+            "robot": {
+                "des_c_pos": rng.standard_normal((T, 3)).astype(np.float32),
+                "c_pos": rng.standard_normal((T, 3)).astype(np.float32),
+            }
+        }
+        with open(d / f"env_{i}.pkl", "wb") as f:
+            pickle.dump(env_state, f)
+    return str(d)
+
+
+def test_avoiding_dataset_and_conversion(tmp_path):
+    d = _make_avoiding_pickles(tmp_path)
+    ds = AvoidingDataset(d, obs_dim=4, action_dim=2, max_len_data=64,
+                         window_size=4)
+    assert ds.num_data == 3
+    assert ds.get_seq_length(0) == 29  # T-1 velocity actions
+    obs, act, mask = ds[0]
+    assert obs.shape == (4, 4) and act.shape == (4, 2)
+    assert mask.sum() == 4
+    assert ds.get_all_actions().shape == (3 * 29, 2)
+
+    out = to_stitched_npz(
+        ds, str(tmp_path / "train.npz"), str(tmp_path / "norm.npz")
+    )
+    data = np.load(out)
+    assert data["states"].shape == (87, 4)
+    assert list(data["traj_lengths"]) == [29, 29, 29]
+    norm = np.load(str(tmp_path / "norm.npz"))
+    assert norm["obs_min"].shape == (4,)
+    # normalized into [-1, 1]
+    assert data["states"].min() >= -1.0 - 1e-6
+    assert data["states"].max() <= 1.0 + 1e-6
+
+    # the stitched npz must load into the standard dataset
+    from dppo_tpu.data.sequence import StitchedSequenceDataset
+
+    sd = StitchedSequenceDataset(out, horizon_steps=4, cond_steps=1)
+    import jax.numpy as jnp
+
+    batch = sd.get_batch(jnp.arange(4))
+    assert batch.actions.shape == (4, 4, 2)
+
+
+def test_linear_normalizer_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((100, 5)).astype(np.float32)
+    data[:, 3] = 2.0  # constant column
+    norm = LinearNormalizer()
+    norm.fit({"observations": data})
+    n = norm(data, "observations", forward=True)
+    assert np.abs(n[:, :3]).max() <= 1.0 + 1e-6
+    back = norm(n, "observations", forward=False)
+    np.testing.assert_allclose(back, data, rtol=1e-5, atol=1e-6)
+    # persistence
+    p = str(tmp_path / "norm.pkl")
+    norm.save(p)
+    norm2 = LinearNormalizer.from_file(p)
+    np.testing.assert_allclose(
+        norm2(data, "observations"), n, rtol=1e-6
+    )
+    # torch-style flat state dict
+    norm3 = LinearNormalizer()
+    norm3.load_state_dict(
+        {
+            "stats.actions.min": np.zeros(2),
+            "stats.actions.max": np.ones(2),
+        }
+    )
+    np.testing.assert_allclose(
+        norm3(np.array([0.5, 0.5]), "actions"), [0.0, 0.0]
+    )
+
+
+def test_quat_to_6d():
+    # identity quaternion (xyzw) -> identity rotation columns
+    rs = np.array([[1.0, 2.0, 3.0, 0, 0, 0, 1, 9.0]])
+    out = proprioceptive_quat_to_6d_rotation(rs)
+    np.testing.assert_allclose(out[0, :3], [1, 2, 3])
+    np.testing.assert_allclose(out[0, 3:9], [1, 0, 0, 0, 1, 0], atol=1e-7)
+    np.testing.assert_allclose(out[0, 9], 9.0)
+
+
+def test_stack_last_n_obs_dict_pads():
+    obs = [{"a": np.ones((2, 3))}]
+    out = stack_last_n_obs_dict(obs, 3)
+    assert out["a"].shape == (2, 3, 3)
+    np.testing.assert_allclose(out["a"][:, 0], out["a"][:, 2])
+
+
+def test_download_registry_gives_recipes():
+    from dppo_tpu.config import Config
+    from dppo_tpu.scripts import download_url as du
+
+    cfg = Config({"env": "hopper-medium-v2"})
+    with pytest.raises(LookupError, match="collect_gym_demos"):
+        du.get_dataset_download_url(cfg)
+    du.register_url("dataset", "hopper-medium-v2", "https://example/x.npz")
+    assert du.get_dataset_download_url(cfg).startswith("https://")
+    del du._URLS[("dataset", "hopper-medium-v2")]
+
+
+def test_dppo_full_state_resume(tmp_path):
+    from tests.test_finetune_dppo import _cfg
+    from dppo_tpu.config import get_class
+
+    cfg = _cfg(tmp_path, n_itr=2)
+    cfg.train.save_model_freq = 1
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    # resume from itr 1 and run one more iteration
+    cfg2 = _cfg(tmp_path, n_itr=3)
+    cfg2.train.save_model_freq = 1
+    cfg2.train.resume_itr = 1
+    agent2 = get_class(cfg2._target_)(cfg2)
+    assert agent2.itr == 2
+    import jax
+
+    leaves1 = jax.tree_util.tree_leaves(agent.update_state.params.actor_ft)
+    leaves2 = jax.tree_util.tree_leaves(agent2.update_state.params.actor_ft)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    agent2.run()
+    assert agent2.itr == 3
