@@ -147,3 +147,32 @@ def test_dppo_full_state_resume(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     agent2.run()
     assert agent2.itr == 3
+
+
+def test_filter_d3il_avoid_modes(tmp_path):
+    """Mode filtering keeps only trajectories passing desired gaps."""
+    from dppo_tpu.scripts.filter_d3il_avoid_data import check_mode, make_dataset
+
+    # synthetic avoid demos: straight vertical lines at distinct x positions
+    d = tmp_path / "demos"
+    d.mkdir()
+    xs = [0.42, 0.5, 0.58]  # left-of-L1, center (through L2 middle), right
+    T = 40
+    for i, x in enumerate(xs):
+        ys = np.linspace(-0.3, 0.45, T)
+        des = np.stack([np.full(T, x), ys, np.zeros(T)], axis=1)
+        env_state = {"robot": {"des_c_pos": des.astype(np.float32),
+                               "c_pos": des.astype(np.float32)}}
+        with open(d / f"env_{i}.pkl", "wb") as f:
+            pickle.dump(env_state, f)
+
+    # mode 0 = passes level-1 left of the pillar
+    enc = check_mode(np.array([0.42, -0.1]))
+    assert enc[0] == 1 and enc[1] == 0
+
+    chosen = make_dataset(
+        str(d), str(tmp_path / "out"), desired_modes=[0], avoid_modes=[3]
+    )
+    assert len(chosen) == 1  # only the left trajectory
+    data = np.load(str(tmp_path / "out" / "train.npz"))
+    assert data["traj_lengths"].shape == (1,)
