@@ -160,7 +160,10 @@ class DiffusionModel:
 
         if self.use_ddim:
             sigma = extract(self.ddim.sigmas, index, x.ndim)
-            dir_xt = jnp.sqrt(1.0 - alpha_prev - sigma**2) * noise
+            dir_xt = (
+                jnp.sqrt(jnp.maximum(1.0 - alpha_prev - sigma**2, 1e-12))
+                * noise
+            )
             mu = jnp.sqrt(alpha_prev) * x_recon + dir_xt
             logvar = jnp.log(jnp.maximum(sigma**2, 1e-38))
         else:

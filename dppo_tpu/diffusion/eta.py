@@ -26,7 +26,11 @@ def _batch(cond):
 
 
 def _logit_init(base, lo, hi):
-    return math.atanh(2 * (base - lo) / (hi - lo) - 1)
+    """tanh-logit such that eta(init) == base; the reference allows
+    base == max (torch atanh returns inf, tanh(inf) = 1) — clamp instead."""
+    x = 2 * (base - lo) / (hi - lo) - 1
+    x = min(max(x, -1 + 1e-7), 1 - 1e-7)
+    return math.atanh(x)
 
 
 class EtaFixed(nn.Module):

@@ -181,7 +181,12 @@ class VPGDiffusion(DiffusionModel):
                 ),
                 1e-10,
             )
-            dir_xt_coef = jnp.sqrt(jnp.maximum(1.0 - alpha_prev - sigma**2, 0.0))
+            # floor inside the sqrt: at the final DDIM step
+            # 1 - alpha_prev - sigma^2 can be exactly <= 0 and sqrt'(0) = inf
+            # would propagate NaN into d(loss)/d(eta)
+            dir_xt_coef = jnp.sqrt(
+                jnp.maximum(1.0 - alpha_prev - sigma**2, 1e-12)
+            )
             mu = jnp.sqrt(alpha_prev) * x_recon + dir_xt_coef * noise
             logvar = jnp.log(sigma**2)
         else:
