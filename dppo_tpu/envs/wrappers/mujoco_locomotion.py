@@ -27,6 +27,13 @@ def resolve_env_id(name: str) -> str:
     base = name.split("-")[0].lower()
     if base in D4RL_TO_GYMNASIUM:
         return D4RL_TO_GYMNASIUM[base]
+    if base == "kitchen":
+        # d4rl kitchen-{complete,partial,mixed}-v0 -> gymnasium-robotics
+        import gymnasium
+        import gymnasium_robotics
+
+        gymnasium.register_envs(gymnasium_robotics)
+        return "FrankaKitchen-v1"
     return name
 
 
@@ -53,16 +60,26 @@ class MujocoLocomotionLowdimWrapper:
         action = (action + 1) / 2.0
         return action * (self.action_max - self.action_min) + self.action_min
 
+    @staticmethod
+    def _flatten_raw(raw_obs):
+        """FrankaKitchen returns a goal-env dict; take the observation
+        vector (d4rl kitchen exposes the same 59-dim state)."""
+        if isinstance(raw_obs, dict):
+            return np.asarray(raw_obs["observation"], dtype=np.float32)
+        return raw_obs
+
     def reset(self, seed=None, options=None):
         options = options or {}
         seed = options.get("seed", seed if seed is not None else getattr(self, "_seed", None))
         self._seed = None if seed is None else seed + 1  # vary future resets
         raw_obs, _ = self.env.reset(seed=seed)
+        raw_obs = self._flatten_raw(raw_obs)
         return {"state": self.normalize_obs(raw_obs).astype(np.float32)}
 
     def step(self, action):
         raw_action = self.unnormalize_action(action)
         raw_obs, reward, terminated, truncated, info = self.env.step(raw_action)
+        raw_obs = self._flatten_raw(raw_obs)
         obs = {"state": self.normalize_obs(raw_obs).astype(np.float32)}
         # episode-length budgeting is owned by MultiStep (reference parity:
         # the inner TimeLimit is bypassed there); drop gymnasium's truncation
