@@ -91,6 +91,7 @@ class TrainAgent(BaseAgent):
             obs_dim=int(cfg.obs_dim),
             action_dim=int(cfg.action_dim),
             n_workers=cfg.env.get("n_workers"),
+            use_shm=bool(cfg.env.get("use_shm", False)),
             **(cfg.env.get("specific") or {}),
         )
         if env_type != "furniture":

@@ -116,6 +116,7 @@ def make_async(
     n_workers: Optional[int] = None,
     obs_dim: int = 11,
     action_dim: int = 3,
+    use_shm: bool = False,
     **kwargs,
 ):
     if env_type == "furniture":
@@ -177,5 +178,16 @@ def make_async(
     )
     env_fns = [fn] * num_envs
     if asynchronous:
-        return AsyncVectorEnv(env_fns, n_workers=n_workers)
+        shm_state_shape = None
+        if use_shm:
+            n_obs_steps = int(
+                (wrappers or {}).get("multi_step", {}).get("n_obs_steps", 1)
+            )
+            shm_state_shape = (n_obs_steps, obs_dim)
+        return AsyncVectorEnv(
+            env_fns,
+            n_workers=n_workers,
+            use_shm=use_shm,
+            shm_state_shape=shm_state_shape,
+        )
     return SyncVectorEnv(env_fns)

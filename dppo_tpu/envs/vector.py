@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import logging
 import multiprocessing as mp
+import os
 import traceback
 from typing import Any, Callable, Optional, Sequence
 
@@ -86,12 +87,26 @@ class SyncVectorEnv:
             env.close()
 
 
-def _worker(pipe, env_fns_bytes):
+def _flatten_state(obs):
+    """Extract the dense "state" modality for shm transport; returns
+    (state_array or None, obs_without_state)."""
+    if isinstance(obs, dict) and "state" in obs:
+        rest = {k: v for k, v in obs.items() if k != "state"}
+        return obs["state"], rest
+    return None, obs
+
+
+def _worker(pipe, env_fns_bytes, shm_name=None, shm_bytes=0):
     import pickle
 
+    seg = None
     try:
         env_fns = pickle.loads(env_fns_bytes)
         shard = SyncVectorEnv(env_fns)
+        if shm_name is not None:
+            from dppo_tpu.native import ShmSegment
+
+            seg = ShmSegment(shm_name, shm_bytes, create=False)
         pipe.send(("ready", None))
     except Exception:
         pipe.send(("error", traceback.format_exc()))
@@ -105,6 +120,20 @@ def _worker(pipe, env_fns_bytes):
                 break
             fn = getattr(shard, cmd)
             result = fn(*payload[0], **payload[1])
+            if seg is not None and cmd in ("step", "reset_arg", "reset"):
+                # publish the dense obs through shared memory; keep the rest
+                # of the tuple (and non-state modalities) on the pipe
+                if cmd == "step":
+                    obs, rews, terms, truncs, infos = result
+                    state, rest = _flatten_state(obs)
+                    if state is not None:
+                        seg.write(np.ascontiguousarray(state, np.float32))
+                        result = (("__shm__", rest), rews, terms, truncs, infos)
+                else:
+                    state, rest = _flatten_state(result)
+                    if state is not None:
+                        seg.write(np.ascontiguousarray(state, np.float32))
+                        result = ("__shm__", rest)
             pipe.send(("ok", result))
         except EOFError:
             break
@@ -123,7 +152,14 @@ class AsyncVectorEnv:
         n_workers: Optional[int] = None,
         respawn: bool = True,
         context: str = "fork",
+        use_shm: bool = False,
+        shm_state_shape: Optional[tuple] = None,
     ):
+        """use_shm: publish the dense "state" modality through the native
+        POSIX shared-memory transport (dppo_tpu/native) instead of pickling
+        it over the pipe — the reference's shared-memory observation path
+        (async_vector_env.py:163-184). Requires `shm_state_shape`, the
+        per-env stacked-obs shape (e.g. (To, Do))."""
         import pickle
 
         self.n_envs = len(env_fns)
@@ -139,6 +175,22 @@ class AsyncVectorEnv:
             for w in range(n_workers)
         ]
         self.respawn = respawn
+        self._use_shm = use_shm
+        self._segments: list = [None] * n_workers
+        self._shm_names: list = [None] * n_workers
+        self._state_shape = tuple(shm_state_shape) if shm_state_shape else None
+        if use_shm:
+            assert self._state_shape is not None, "use_shm needs shm_state_shape"
+            from dppo_tpu.native import ShmSegment
+
+            for w in range(n_workers):
+                n_local = int(self._bounds[w + 1] - self._bounds[w])
+                nbytes = int(
+                    np.prod((n_local,) + self._state_shape) * 4
+                )
+                name = f"/dppo_obs_{os.getpid()}_{id(self)}_{w}"
+                self._segments[w] = ShmSegment(name, nbytes, create=True)
+                self._shm_names[w] = name
         self._pipes: list = [None] * n_workers
         self._procs: list = [None] * n_workers
         for w in range(n_workers):
@@ -146,8 +198,12 @@ class AsyncVectorEnv:
 
     def _spawn(self, w: int):
         parent, child = self._ctx.Pipe()
+        shm_name = self._shm_names[w] if self._use_shm else None
+        shm_bytes = self._segments[w].nbytes if self._use_shm else 0
         proc = self._ctx.Process(
-            target=_worker, args=(child, self._fn_bytes[w]), daemon=True
+            target=_worker,
+            args=(child, self._fn_bytes[w], shm_name, shm_bytes),
+            daemon=True,
         )
         proc.start()
         child.close()
@@ -235,6 +291,23 @@ class AsyncVectorEnv:
         return [r for s in shards for r in s]
 
     def _merge_obs(self, shard_obs):
+        # resolve shm-published dense states first
+        if self._use_shm and isinstance(shard_obs[0], tuple) and (
+            len(shard_obs[0]) == 2 and shard_obs[0][0] == "__shm__"
+        ):
+            merged = {}
+            states = []
+            for w, (_, rest) in enumerate(shard_obs):
+                n_local = int(self._bounds[w + 1] - self._bounds[w])
+                out = np.empty((n_local,) + self._state_shape, np.float32)
+                self._segments[w].read(out)
+                states.append(out)
+                for k, v in rest.items():
+                    merged.setdefault(k, []).append(v)
+            result = {"state": np.concatenate(states)}
+            for k, vs in merged.items():
+                result[k] = np.concatenate(vs)
+            return result
         if isinstance(shard_obs[0], dict):
             return {
                 k: np.concatenate([s[k] for s in shard_obs])
@@ -243,6 +316,9 @@ class AsyncVectorEnv:
         return np.concatenate(shard_obs)
 
     def close(self):
+        for seg in getattr(self, "_segments", []):
+            if seg is not None:
+                seg.close()
         for pipe in self._pipes:
             try:
                 pipe.send(("close", ((), {})))
