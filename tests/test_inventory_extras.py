@@ -176,3 +176,69 @@ def test_filter_d3il_avoid_modes(tmp_path):
     assert len(chosen) == 1  # only the left trajectory
     data = np.load(str(tmp_path / "out" / "train.npz"))
     assert data["traj_lengths"].shape == (1,)
+
+
+def _box(rng, T, quat=True):
+    d = {"pos": rng.standard_normal((T, 3)).astype(np.float32)}
+    if quat:
+        q = rng.standard_normal((T, 4)).astype(np.float32)
+        d["quat"] = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    return d
+
+
+def _make_task_pickles(tmp_path, env_type, n=3, T=20):
+    rng = np.random.default_rng(1)
+    d = tmp_path / f"demos_{env_type}"
+    d.mkdir()
+    for i in range(n):
+        robot = {
+            "des_c_pos": rng.standard_normal((T, 3)).astype(np.float32),
+            "c_pos": rng.standard_normal((T, 3)).astype(np.float32),
+            "des_j_pos": rng.standard_normal((T, 7)).astype(np.float32),
+            "gripper_width": rng.uniform(0, 0.1, T).astype(np.float32),
+        }
+        env_state = {"robot": robot}
+        for name in ("push-box", "target-box", "red-box", "green-box",
+                     "blue-box", "red-box1", "blue-box1"):
+            env_state[name] = _box(rng, T)
+        with open(d / f"env_{i}.pkl", "wb") as f:
+            pickle.dump(env_state, f)
+    return str(d)
+
+
+@pytest.mark.parametrize("env_type,obs_dim,action_dim", [
+    ("align", 20, 3),
+    ("avoid", 4, 2),
+    ("push", 10, 2),
+    ("sort", 10, 2),
+    ("stack", 20, 8),
+])
+def test_process_d3il_dataset_all_tasks(tmp_path, env_type, obs_dim,
+                                        action_dim):
+    from dppo_tpu.scripts.process_d3il_dataset import make_dataset
+
+    d = _make_task_pickles(tmp_path, env_type)
+    out = tmp_path / f"out_{env_type}"
+    make_dataset(d, str(out), f"{env_type}-", env_type, val_split=0.2)
+
+    train = np.load(out / f"{env_type}-train.npz")
+    val = np.load(out / f"{env_type}-val.npz")
+    norm = np.load(out / f"{env_type}-normalization.npz")
+    assert train["states"].shape[1] == obs_dim
+    assert train["actions"].shape[1] == action_dim
+    assert norm["obs_min"].shape == (obs_dim,)
+    # by-trajectory split: 3 trajs -> 2 train / 1 val
+    assert len(train["traj_lengths"]) == 2 and len(val["traj_lengths"]) == 1
+    assert train["states"].shape[0] == int(train["traj_lengths"].sum())
+    # everything scaled into [-1, 1]
+    for arr in (train["states"], train["actions"]):
+        assert arr.min() >= -1 - 1e-5 and arr.max() <= 1 + 1e-5
+    # loadable by the training dataset
+    from dppo_tpu.data.sequence import StitchedSequenceDataset
+
+    seq = StitchedSequenceDataset(
+        str(out / f"{env_type}-train.npz"), horizon_steps=4, cond_steps=1,
+        max_n_episodes=10,
+    )
+    batch = seq.get_batch(np.array([0, 1]))
+    assert batch.actions.shape == (2, 4, action_dim)
