@@ -238,9 +238,34 @@ def resolve(cfg: Mapping) -> Config:
     return _resolve_value(_wrap(cfg), _wrap(cfg))
 
 
+class _YamlLoader(yaml.SafeLoader):
+    """SafeLoader with an OmegaConf-compatible float resolver: bare
+    scientific notation (`1e-4`) parses as float, matching how the
+    reference's Hydra/OmegaConf stack reads its 279 experiment YAMLs
+    (PyYAML's stock YAML-1.1 resolver would return the string)."""
+
+
+_YamlLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |[-+]?\.[0-9_]+(?:[eE][-+]?[0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
+def yaml_load(stream):
+    return yaml.load(stream, Loader=_YamlLoader)
+
+
 def _parse_override_value(s: str) -> Any:
     try:
-        return yaml.safe_load(s)
+        return yaml_load(s)
     except yaml.YAMLError:
         return s
 
@@ -265,7 +290,7 @@ def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
 def load_config(path: str, overrides: list[str] | None = None) -> Config:
     """Load a YAML config file, apply overrides, and resolve interpolations."""
     with open(path) as f:
-        raw = yaml.safe_load(f)
+        raw = yaml_load(f)
     raw.pop("hydra", None)
     raw.pop("defaults", None)
     cfg = _wrap(raw)

@@ -37,6 +37,12 @@ class EtaFixed(nn.Module):
     base_eta: float = 0.5
     min_eta: float = 0.1
     max_eta: float = 1.0
+    # accepted-and-ignored, matching the reference's **kwargs tolerance
+    # (eta.py:19 — shipped configs pass MLP args to every eta variant)
+    input_dim: Optional[int] = None
+    mlp_dims: Optional[Sequence[int]] = None
+    action_dim: Optional[int] = None
+    gain: Optional[float] = None
 
     @nn.compact
     def __call__(self, cond):
@@ -53,6 +59,9 @@ class EtaAction(nn.Module):
     base_eta: float = 0.5
     min_eta: float = 0.1
     max_eta: float = 1.0
+    input_dim: Optional[int] = None  # accepted-and-ignored (see EtaFixed)
+    mlp_dims: Optional[Sequence[int]] = None
+    gain: Optional[float] = None
 
     @nn.compact
     def __call__(self, cond):
@@ -75,6 +84,7 @@ class _EtaMLP(nn.Module):
     min_eta: float = 0.1
     max_eta: float = 1.0
     gain: float = 1e-2  # accepted for config parity; zero-init head supersedes it
+    action_dim: Optional[int] = None  # accepted-and-ignored (see EtaFixed)
 
     @nn.compact
     def __call__(self, cond):
