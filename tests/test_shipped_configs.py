@@ -52,3 +52,25 @@ def test_config_resolves_and_model_instantiates(path):
     else:
         return
     assert params is not None
+
+
+def test_robomimic_env_meta_jsons_exist_and_load():
+    """Every robomimic_env_cfg_path referenced by a shipped config must
+    exist and parse (the JSONs are emitted by tools/gen_robomimic_env_meta
+    .py at reference parity)."""
+    import json
+
+    referenced = set()
+    for path in CONFIGS:
+        if "/robomimic/" not in path:
+            continue
+        cfg = load_config(path, overrides=["model.network_path=null"])
+        p = cfg.get("robomimic_env_cfg_path")
+        if p:
+            referenced.add(p)
+    assert referenced, "no robomimic config references env_meta"
+    for rel in sorted(referenced):
+        full = os.path.join(REPO, rel)
+        assert os.path.exists(full), f"missing {rel}"
+        meta = json.load(open(full))
+        assert meta["type"] == 1 and "env_kwargs" in meta
