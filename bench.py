@@ -40,13 +40,23 @@ def main():
     cond = {"state": jnp.zeros((B, 1, 11), dtype=jnp.float32)}
     params = model.init_vpg_params(jax.random.key(0), cond)
 
-    @jax.jit
-    def sample_step(params, state_obs, rng):
-        out = model.sample(
-            params, {"state": state_obs}, rng, deterministic=False,
-            return_chain=True,
-        )
-        return out.trajectories, out.chains
+    # fast path: fused Pallas chain kernel when the backend supports Mosaic
+    # (real TPU runtimes; the axon tunnel and CPU fall back to the XLA scan)
+    from dppo_tpu.ops.pallas.fused_chain import auto_fused_sampler
+
+    fused = auto_fused_sampler(model, params, cond, mode="auto")
+    if fused is not None:
+        def sample_step(params, state_obs, rng):
+            out = fused(params, {"state": state_obs}, rng, False)
+            return out.trajectories, out.chains
+    else:
+        @jax.jit
+        def sample_step(params, state_obs, rng):
+            out = model.sample(
+                params, {"state": state_obs}, rng, deterministic=False,
+                return_chain=True,
+            )
+            return out.trajectories, out.chains
 
     rng = jax.random.key(1)
     state_obs = jnp.asarray(

@@ -99,13 +99,34 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
         resume_itr = cfg.train.get("resume_itr")
         if resume_itr is not None:
             self.resume_full_state(int(resume_itr))
+        self._fused_mode = str(cfg.train.get("fused_sampler", "auto")).lower()
+        self._example_cond = cond
+        self._build_sampler()
+        self._jit_update = jax.jit(self._update)
+
+    def _build_sampler(self):
+        """(Re)build the jitted rollout sampler. Must be called again after a
+        ft-window promote: the sampler bakes `ft_denoising_steps` (and so the
+        chain shape) in at trace time, and jit would not retrace on its own
+        since the input shapes are unchanged."""
         self._jit_sample = jax.jit(
             lambda p, c, r, det: self.model.sample(
                 p, c, r, deterministic=det, return_chain=True
             ),
             static_argnames=("det",),
         )
-        self._jit_update = jax.jit(self._update)
+        if self._fused_mode != "off" and self.model.ft_denoising_steps > 0:
+            from dppo_tpu.ops.pallas.fused_chain import auto_fused_sampler
+
+            fused = auto_fused_sampler(
+                self.model,
+                self.update_state.params,
+                self._example_cond,
+                mode=self._fused_mode,
+            )
+            if fused is not None:
+                log.info("rollout sampler: fused Pallas chain kernel")
+                self._jit_sample = fused
 
     def _update_call(self, *args):
         """Dispatch the fused update and block so phase timing is real."""
@@ -489,17 +510,23 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
                         self.update_state.params, cond, self.next_rng(), eval_mode
                     )
                     output_venv = np.asarray(samples.trajectories)
-                    chains_venv = np.asarray(samples.chains)
                 action_venv = output_venv[:, : self.act_steps]
 
                 with phase_timer.phase("env"):
+                    # dispatch the simulators first, then fetch the chain
+                    # (device→host) and fill buffers while they step
+                    self.venv.step_async(action_venv)
+                    chains_venv = np.asarray(samples.chains)
+                    for k in self.obs_dims:
+                        obs_trajs[k][step] = prev_obs_venv[k]
+                    chains_trajs[step] = chains_venv
                     (
                         obs_venv,
                         reward_venv,
                         terminated_venv,
                         truncated_venv,
                         info_venv,
-                    ) = self.venv.step(action_venv)
+                    ) = self.venv.step_wait()
                 done_venv = terminated_venv | truncated_venv
                 if self.save_full_observations:
                     obs_full_venv = np.array(
@@ -508,9 +535,6 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
                     obs_full_trajs = np.vstack(
                         (obs_full_trajs, obs_full_venv.transpose(1, 0, 2))
                     )
-                for k in self.obs_dims:
-                    obs_trajs[k][step] = prev_obs_venv[k]
-                chains_trajs[step] = chains_venv
                 reward_trajs[step] = reward_venv
                 terminated_trajs[step] = terminated_venv
                 firsts_trajs[step + 1] = done_venv
@@ -578,6 +602,7 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
                     )
                 )
                 self.K_ft = self.model.ft_denoising_steps
+                self._build_sampler()  # chain shape changed; force retrace
 
             if self.itr % self.save_model_freq == 0 or self.itr == self.n_train_itr - 1:
                 self.save_model(self.update_state.params)

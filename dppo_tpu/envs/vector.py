@@ -71,6 +71,17 @@ class SyncVectorEnv:
             list(infos),
         )
 
+    # split-phase step: lets the caller overlap host work (e.g. fetching the
+    # denoising chain off-device) with simulator stepping. Serial pool has no
+    # real concurrency, so step_async just stashes the actions.
+    def step_async(self, actions: np.ndarray):
+        self._pending_actions = actions
+
+    def step_wait(self):
+        actions = self._pending_actions
+        self._pending_actions = None
+        return self.step(actions)
+
     def call_sync(self, name: str, *args, **kwargs):
         return [getattr(env, name)(*args, **kwargs) for env in self.envs]
 
@@ -213,11 +224,13 @@ class AsyncVectorEnv:
         self._pipes[w] = parent
         self._procs[w] = proc
 
-    def _call_all(self, cmd: str, per_worker_args=None, kwargs=None):
+    def _send_all(self, cmd: str, per_worker_args=None, kwargs=None):
         kwargs = kwargs or {}
         for w, pipe in enumerate(self._pipes):
             args = per_worker_args[w] if per_worker_args is not None else ()
             pipe.send((cmd, (args, kwargs)))
+
+    def _recv_all(self):
         results = []
         for w, pipe in enumerate(self._pipes):
             try:
@@ -241,6 +254,10 @@ class AsyncVectorEnv:
                 raise RuntimeError(f"env worker {w} error:\n{payload}")
             results.append(payload)
         return results
+
+    def _call_all(self, cmd: str, per_worker_args=None, kwargs=None):
+        self._send_all(cmd, per_worker_args, kwargs)
+        return self._recv_all()
 
     def _shard(self, arr):
         return [
@@ -272,7 +289,17 @@ class AsyncVectorEnv:
         return self.reset_arg()
 
     def step(self, actions: np.ndarray):
-        shards = self._call_all("step", [(s,) for s in self._shard(actions)])
+        self.step_async(actions)
+        return self.step_wait()
+
+    def step_async(self, actions: np.ndarray):
+        """Dispatch the step to all workers and return immediately — the
+        simulators run while the caller does host work (e.g. device→host
+        chain fetch, buffer writes). Collect with `step_wait`."""
+        self._send_all("step", [(s,) for s in self._shard(actions)])
+
+    def step_wait(self):
+        shards = self._recv_all()
         obs = self._merge_obs([s[0] for s in shards])
         rews = np.concatenate([s[1] for s in shards])
         terms = np.concatenate([s[2] for s in shards])

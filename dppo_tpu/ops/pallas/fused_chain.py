@@ -385,3 +385,39 @@ class FusedChainSampler:
         traj = chain_actions[-1]
         recorded = jnp.swapaxes(chain_actions[K - K_ft :], 0, 1)
         return Sample(traj, recorded)
+
+
+def auto_fused_sampler(model, example_params, example_cond, mode="auto"):
+    """Build a jitted fused-chain sampler matching `VPGDiffusion.sample`
+    (signature (params, cond, rng, det) with `det` static), or return None.
+
+    mode:
+      - "off":  always None.
+      - "auto": only on a real TPU backend (`jax.default_backend() == "tpu"`)
+        — the axon tunnel backend hangs compiling Mosaic kernels and CPU has
+        no Pallas TPU lowering — and only if the model qualifies (DDPM,
+        single-residual-block DiffusionMLP, no learnable η) and a probe
+        compile + run succeeds. Any failure falls back to None.
+      - "on":   attempt unconditionally and raise on failure.
+    """
+    if mode == "off":
+        return None
+    import jax as _jax
+
+    if mode == "auto" and _jax.default_backend() != "tpu":
+        return None
+    try:
+        if model.use_ddim or getattr(model, "learn_eta", False):
+            raise ValueError("fused chain kernel is DDPM-only, fixed η")
+        sampler = FusedChainSampler(model)
+        fn = _jax.jit(
+            lambda p, c, r, det: sampler(p, c, r, deterministic=det),
+            static_argnames=("det",),
+        )
+        out = fn(example_params, example_cond, _jax.random.key(0), False)
+        _jax.block_until_ready(out.trajectories)
+        return fn
+    except Exception:
+        if mode == "on":
+            raise
+        return None

@@ -85,6 +85,31 @@ def test_async_vector_env_matches_sync():
     asyn.close()
 
 
+def test_split_phase_step_matches_step():
+    """step_async/step_wait (the rollout-overlap API) == plain step."""
+    a = np.random.default_rng(1).standard_normal((4, 3, ACT)).astype(np.float32)
+    plain = SyncVectorEnv([_env_fn for _ in range(4)])
+    split = SyncVectorEnv([_env_fn for _ in range(4)])
+    plain.seed([3, 4, 5, 6])
+    split.seed([3, 4, 5, 6])
+    plain.reset_arg()
+    split.reset_arg()
+    r1 = plain.step(a)
+    split.step_async(a)
+    r2 = split.step_wait()
+    np.testing.assert_allclose(r1[0]["state"], r2[0]["state"])
+    np.testing.assert_allclose(r1[1], r2[1])
+
+    asyn = AsyncVectorEnv([_env_fn for _ in range(4)], n_workers=2)
+    asyn.seed([3, 4, 5, 6])
+    asyn.reset_arg()
+    asyn.step_async(a)
+    r3 = asyn.step_wait()
+    np.testing.assert_allclose(r1[0]["state"], r3[0]["state"], rtol=1e-6)
+    np.testing.assert_allclose(r1[1], r3[1], rtol=1e-6)
+    asyn.close()
+
+
 def test_make_async_dummy_factory():
     venv = make_async(
         "dummy",

@@ -142,6 +142,28 @@ def test_dppo_end_to_end(tmp_path):
     assert float(agent.update_state.reward_scaler.count) > 1.0
 
 
+def test_dppo_ft_annealing_across_promote(tmp_path):
+    """ft_denoising_steps_d > 0: the run must survive a promote (actor_ft →
+    frozen base, chain shape shrinks) mid-training. Regression test for the
+    stale jitted sampler: after promote the sampler input shapes are
+    unchanged, so jit would NOT retrace on its own and would emit chains of
+    the old K_ft."""
+    cfg = _cfg(tmp_path, n_itr=4)
+    # anneal 4 -> 2 at the end of itr 1; itrs 2-3 roll out with the shrunken
+    # chain (the final promote to 0 fires after the last rollout)
+    cfg.model.ft_denoising_steps_d = 2
+    cfg.model.ft_denoising_steps_t = 2
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    assert agent.itr == 4
+    assert agent.model.ft_denoising_steps < 4  # annealed at least once
+    assert agent.K_ft == agent.model.ft_denoising_steps
+    # base actor was promoted from actor_ft (they match right after promote,
+    # then actor_ft trains further; both must stay finite)
+    leaves = jax.tree_util.tree_leaves(agent.update_state.params.actor)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
 def test_dppo_eval_mode_no_update(tmp_path):
     cfg = _cfg(tmp_path, n_itr=1)
     cfg.train.val_freq = 1  # itr 0 -> eval mode
