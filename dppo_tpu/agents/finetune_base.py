@@ -92,6 +92,7 @@ class TrainAgent(BaseAgent):
             action_dim=int(cfg.action_dim),
             n_workers=cfg.env.get("n_workers"),
             use_shm=bool(cfg.env.get("use_shm", False)),
+            backend=cfg.env.get("backend", "process"),
             **(cfg.env.get("specific") or {}),
         )
         if env_type != "furniture":

@@ -117,8 +117,28 @@ def make_async(
     obs_dim: int = 11,
     action_dim: int = 3,
     use_shm: bool = False,
+    backend: str = "process",
     **kwargs,
 ):
+    if backend == "batched_mujoco":
+        # single-process batched pool on the native threaded mujoco.rollout
+        # module — fuses sim + task wrapper + MultiStep + vector pool
+        from dppo_tpu.config import to_container
+        from dppo_tpu.envs.batched_mujoco import BatchedMujocoLocomotionEnv
+
+        w = dict(to_container(wrappers or {}))
+        ms = dict(w.get("multi_step", {}))
+        task = dict(w.get("mujoco_locomotion_lowdim", {}))
+        return BatchedMujocoLocomotionEnv(
+            env_name,
+            n_envs=num_envs,
+            normalization_path=task["normalization_path"],
+            n_obs_steps=int(ms.get("n_obs_steps", 1)),
+            n_action_steps=int(ms.get("n_action_steps", 1)),
+            max_episode_steps=max_episode_steps,
+            reset_within_step=bool(ms.get("reset_within_step", True)),
+            nthread=n_workers,
+        )
     if env_type == "furniture":
         # GPU-batched IsaacGym branch (parity: env/gym_utils/__init__.py:73-108)
         try:

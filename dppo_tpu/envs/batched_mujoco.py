@@ -283,8 +283,10 @@ class BatchedMujocoLocomotionEnv:
             # zeroed each macro step: deterministic regardless of which data
             # slot (thread) an env lands on. See module docstring.
             warmstart = np.zeros((N, self.nv))
+        # skip_checks bypasses the wrapper's input tiling: model must be a
+        # length-nbatch list and every array fully-shaped float64
         rollout.rollout(
-            self.model,
+            [self.model] * N,
             self._datas,
             init,
             ctrl,
