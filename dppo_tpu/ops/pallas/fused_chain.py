@@ -402,10 +402,19 @@ def auto_fused_sampler(model, example_params, example_cond, mode="auto"):
     """
     if mode == "off":
         return None
+    import os as _os
+
     import jax as _jax
 
-    if mode == "auto" and _jax.default_backend() != "tpu":
-        return None
+    if mode == "auto":
+        # the axon tunnel reports default_backend() == "tpu" but hangs on
+        # Mosaic compiles; it is only identifiable from the platform spec
+        spec = str(
+            getattr(_jax.config, "jax_platforms", None)
+            or _os.environ.get("JAX_PLATFORMS", "")
+        ).lower()
+        if "axon" in spec or _jax.default_backend() != "tpu":
+            return None
     try:
         if model.use_ddim or getattr(model, "learn_eta", False):
             raise ValueError("fused chain kernel is DDPM-only, fixed η")
