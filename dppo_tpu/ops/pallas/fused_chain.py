@@ -1,4 +1,5 @@
-"""Pallas TPU kernel: the ENTIRE K-step DDPM denoising chain in one kernel.
+"""Pallas TPU kernel: the ENTIRE K-step denoising chain (DDPM or DDIM) in
+one kernel.
 
 This is the hot op of DPPO (SURVEY §3.3): K sequential forwards of a small
 residual-MLP denoiser per policy query. Under plain XLA the K-step
@@ -262,18 +263,32 @@ def fused_ddpm_chain(
 class FusedChainSampler:
     """Wires the fused kernel to a VPGDiffusion-style model.
 
-    Usage (opt-in fast path; DDPM, residual-MLP denoiser only):
+    Usage (opt-in fast path; residual-MLP denoiser; DDPM, or DDIM with a
+    global η — none or EtaFixed, learnable included — and no eps clip):
         sampler = FusedChainSampler(model)
         sample = sampler(params, cond, rng, deterministic=False)
 
     Matches `VPGDiffusion.sample` semantics: per-step base/ft actor
-    selection, std floors (min_sampling_denoising_std, eval 1e-3/0 rules),
-    randn clipping, denoised clip, final action clip, chain recording of the
-    last K_ft + 1 states.
+    selection, std floors (min_sampling_denoising_std, eval 1e-3/0 rules,
+    DDIM σ_η), randn clipping, denoised clip (with DDIM ε-recompute folded
+    into the posterior coefficients), final action clip, chain recording of
+    the last K_ft + 1 states.
     """
 
     def __init__(self, model):
-        assert not model.use_ddim, "fused chain kernel is DDPM-only"
+        if model.use_ddim:
+            # the DDIM update with ε-recompute-after-clip is algebraically
+            # mu1·x_recon + mu2·x — the same kernel body as DDPM — as long as
+            # ε itself isn't clipped, and σ reduces to a per-step scalar only
+            # for a global η (none, or a learned EtaFixed scalar)
+            assert model.eps_clip_value is None, (
+                "fused DDIM path does not support eps_clip_value"
+            )
+            em = model.eta_module
+            assert em is None or type(em).__name__ == "EtaFixed", (
+                "fused DDIM path supports only global η (None or EtaFixed); "
+                f"got {type(em).__name__}"
+            )
         self.model = model
         net = model.network
         self.x_dim = model.horizon_steps * model.action_dim
@@ -281,6 +296,48 @@ class FusedChainSampler:
         self.cond_dim = net.cond_dim
         self.in_dim = self.x_dim + self.time_dim + self.cond_dim
         self.IN_P = _round_up(self.in_dim, LANE)
+
+    def _coefs_ddim(self, params, cond, deterministic: bool):
+        """DDIM coefficient table (8, K) — jnp, since η may be a learned
+        parameter. Mirrors `VPGDiffusion.p_mean_var_ft`'s DDIM branch
+        (diffusion_vpg.py:198-213 semantics): with the ε-recompute after the
+        denoised clip, the update is
+            x' = [√ᾱ_prev − dir·√ᾱ/√(1−ᾱ)]·x_recon + [dir/√(1−ᾱ)]·x + σ·n
+        with dir = √max(1−ᾱ_prev−σ², 1e-12), σ = max(η·σ_ddim, 1e-10)."""
+        m = self.model
+        K = m.ddim_steps
+        al = m.ddim.alphas
+        al_prev = m.ddim.alphas_prev
+        som = m.ddim.sqrt_one_minus_alphas
+        c1 = 1.0 / jnp.sqrt(al)
+        c2 = som / jnp.sqrt(al)
+        if deterministic or m.eta_module is None or params.eta is None:
+            eta = jnp.zeros(())
+        else:
+            eta = m.eta_module.apply(params.eta, cond)[0, 0]
+        sigma = jnp.maximum(
+            eta * jnp.sqrt((1 - al_prev) / (1 - al) * (1 - al / al_prev)),
+            1e-10,
+        )
+        dir_coef = jnp.sqrt(jnp.maximum(1.0 - al_prev - sigma**2, 1e-12))
+        mu1 = jnp.sqrt(al_prev) - dir_coef * jnp.sqrt(al) / som
+        mu2 = dir_coef / som
+        if deterministic:
+            std = jnp.zeros_like(sigma)
+        else:
+            std = jnp.clip(sigma, m.get_min_sampling_denoising_std(), None)
+        dclip = jnp.full(
+            (K,),
+            m.denoised_clip_value if m.denoised_clip_value is not None else 1e9,
+        )
+        fflag = jnp.zeros((K,))
+        fval = jnp.ones((K,))
+        if m.final_action_clip_value is not None:
+            fflag = fflag.at[-1].set(1.0)
+            fval = fval.at[-1].set(m.final_action_clip_value)
+        return jnp.stack([c1, c2, mu1, mu2, std, dclip, fflag, fval]).astype(
+            jnp.float32
+        )
 
     def _coefs(self, deterministic: bool) -> np.ndarray:
         m = self.model
@@ -314,7 +371,7 @@ class FusedChainSampler:
         from dppo_tpu.diffusion.core import Sample
 
         m = self.model
-        K, K_ft = m.denoising_steps, m.ft_denoising_steps
+        K, K_ft = m.n_sampling_steps, m.ft_denoising_steps
         B = cond["state"].shape[0]
         state = cond["state"].reshape(B, -1)
         state_row = jnp.zeros((B, self.IN_P)).at[
@@ -328,7 +385,10 @@ class FusedChainSampler:
             -m.randn_clip_value,
             m.randn_clip_value,
         )
-        coefs = jnp.asarray(self._coefs(deterministic))
+        if m.use_ddim:
+            coefs = self._coefs_ddim(params, cond, deterministic)
+        else:
+            coefs = jnp.asarray(self._coefs(deterministic))
         t_sched = m.t_schedule()
         base_steps = K - K_ft
 
@@ -395,9 +455,10 @@ def auto_fused_sampler(model, example_params, example_cond, mode="auto"):
       - "off":  always None.
       - "auto": only on a real TPU backend (`jax.default_backend() == "tpu"`)
         — the axon tunnel backend hangs compiling Mosaic kernels and CPU has
-        no Pallas TPU lowering — and only if the model qualifies (DDPM,
-        single-residual-block DiffusionMLP, no learnable η) and a probe
-        compile + run succeeds. Any failure falls back to None.
+        no Pallas TPU lowering — and only if the model qualifies
+        (single-residual-block DiffusionMLP; DDPM, or DDIM with global η and
+        no eps clip) and a probe compile + run succeeds. Any failure falls
+        back to None.
       - "on":   attempt unconditionally and raise on failure.
     """
     if mode == "off":
@@ -416,9 +477,7 @@ def auto_fused_sampler(model, example_params, example_cond, mode="auto"):
         if "axon" in spec or _jax.default_backend() != "tpu":
             return None
     try:
-        if model.use_ddim or getattr(model, "learn_eta", False):
-            raise ValueError("fused chain kernel is DDPM-only, fixed η")
-        sampler = FusedChainSampler(model)
+        sampler = FusedChainSampler(model)  # asserts model qualifies
         fn = _jax.jit(
             lambda p, c, r, det: sampler(p, c, r, deterministic=det),
             static_argnames=("det",),

@@ -34,18 +34,28 @@ def _model(**kw):
 def _reference_chain_with_noise(model, params, cond, x0, noise, deterministic,
                                 use_base_policy=False):
     """Re-run the model's sampling math step by step with fixed noise."""
-    K_total = model.denoising_steps
+    K_total = model.n_sampling_steps
     base_steps = K_total - model.ft_denoising_steps
     t_all = np.asarray(model.t_schedule())
+    eta_value = model._eta_value(params, cond, deterministic)
     x = x0
     states = [x0]
     sample_actor = params.actor if use_base_policy else params.actor_ft
     for i, t in enumerate(t_all):
         actor = params.actor if i < base_steps else sample_actor
         t_b = jnp.full((x.shape[0],), int(t), dtype=jnp.int32)
-        mean, logvar, _ = model.p_mean_var_ft(actor, x, t_b, cond)
+        index_b = jnp.full((x.shape[0],), i, dtype=jnp.int32)
+        mean, logvar, _ = model.p_mean_var_ft(
+            actor, x, t_b, cond, index=index_b, eta_value=eta_value
+        )
         std = jnp.exp(0.5 * logvar)
-        if deterministic:
+        if model.use_ddim:
+            std = (
+                jnp.zeros_like(std)
+                if deterministic
+                else jnp.clip(std, model.min_sampling_denoising_std, None)
+            )
+        elif deterministic:
             std = jnp.where(t == 0, 0.0, jnp.clip(std, 1e-3, None))
         else:
             std = jnp.clip(std, model.min_sampling_denoising_std, None)
@@ -113,3 +123,70 @@ def test_packing_roundtrip():
         params.actor, model.t_schedule(), 16
     )
     assert temb.shape == (K, 16)
+
+
+DDIM_K = 5
+
+
+@pytest.mark.parametrize("with_eta", [False, True])
+@pytest.mark.parametrize("deterministic", [False, True])
+def test_fused_chain_matches_scan_ddim(with_eta, deterministic):
+    """DDIM path: the ε-recompute-after-clip update folded into the
+    mu1/mu2 coefficient form must match the per-step reference math, with
+    η = 0 (no module) and with a learnable EtaFixed scalar."""
+    from dppo_tpu.diffusion.eta import EtaFixed
+
+    eta = EtaFixed(base_eta=0.7, min_eta=0.1, max_eta=1.0) if with_eta else None
+    model = _model(
+        ft=3,
+        use_ddim=True,
+        ddim_steps=DDIM_K,
+        eta=eta,
+        learn_eta=with_eta,
+    )
+    cond = {"state": jax.random.normal(jax.random.key(0), (B, 1, Do))}
+    params = model.init_vpg_params(jax.random.key(1), cond)
+    params = params._replace(
+        actor_ft=jax.tree_util.tree_map(lambda x: x * 1.1, params.actor_ft)
+    )
+    sampler = FusedChainSampler(model)
+    rng = jax.random.key(2)
+    rng_x, rng_n = jax.random.split(rng)
+    x0 = jax.random.normal(rng_x, (B, Ta * Da))
+    noise = jnp.clip(
+        jax.random.normal(rng_n, (DDIM_K, B, Ta * Da)), -3, 3
+    )
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = sampler(params, cond, rng, deterministic=deterministic)
+
+    ref_chain = _reference_chain_with_noise(
+        model, params, cond,
+        x0.reshape(B, Ta, Da),
+        noise.reshape(DDIM_K, B, Ta, Da),
+        deterministic,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.trajectories), np.asarray(ref_chain[-1]),
+        rtol=2e-4, atol=2e-5,
+    )
+    expected_rec = jnp.swapaxes(ref_chain[DDIM_K - 3 :], 0, 1)
+    np.testing.assert_allclose(
+        np.asarray(out.chains), np.asarray(expected_rec), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_fused_rejects_unsupported_ddim():
+    from dppo_tpu.diffusion.eta import EtaState
+
+    m = _model(ft=3, use_ddim=True, ddim_steps=DDIM_K, eps_clip_value=1.0)
+    with pytest.raises(AssertionError):
+        FusedChainSampler(m)
+    m = _model(
+        ft=3, use_ddim=True, ddim_steps=DDIM_K,
+        eta=EtaState(input_dim=Do, mlp_dims=[8], out_dim=1), learn_eta=True,
+    )
+    with pytest.raises(AssertionError):
+        FusedChainSampler(m)
