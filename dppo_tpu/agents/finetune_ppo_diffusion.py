@@ -99,7 +99,11 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
         resume_itr = cfg.train.get("resume_itr")
         if resume_itr is not None:
             self.resume_full_state(int(resume_itr))
-        self._fused_mode = str(cfg.train.get("fused_sampler", "auto")).lower()
+        from dppo_tpu.ops.pallas.fused_chain import normalize_fused_mode
+
+        self._fused_mode = normalize_fused_mode(
+            cfg.train.get("fused_sampler", "auto")
+        )
         self._example_cond = cond
         self._build_sampler()
         self._jit_update = jax.jit(self._update)

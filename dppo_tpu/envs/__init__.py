@@ -129,14 +129,26 @@ def make_async(
         w = dict(to_container(wrappers or {}))
         ms = dict(w.get("multi_step", {}))
         task = dict(w.get("mujoco_locomotion_lowdim", {}))
+        # defaults must match MultiStep's, so switching backends never
+        # changes semantics; reject multi_step options the batched pool
+        # does not implement rather than silently ignoring them
+        if ms.get("reward_agg_method", "sum") != "sum":
+            raise NotImplementedError(
+                "batched_mujoco backend only supports reward_agg_method=sum"
+            )
+        if ms.get("pass_full_observations", False):
+            raise NotImplementedError(
+                "batched_mujoco backend does not support "
+                "pass_full_observations"
+            )
         return BatchedMujocoLocomotionEnv(
             env_name,
             n_envs=num_envs,
             normalization_path=task["normalization_path"],
             n_obs_steps=int(ms.get("n_obs_steps", 1)),
             n_action_steps=int(ms.get("n_action_steps", 1)),
-            max_episode_steps=max_episode_steps,
-            reset_within_step=bool(ms.get("reset_within_step", True)),
+            max_episode_steps=ms.get("max_episode_steps", max_episode_steps),
+            reset_within_step=bool(ms.get("reset_within_step", False)),
             nthread=n_workers,
         )
     if env_type == "furniture":

@@ -171,14 +171,18 @@ class BatchedMujocoLocomotionEnv:
 
     # ------------------------------------------------------------- helpers
     def _normalize_obs(self, raw: np.ndarray) -> np.ndarray:
-        return (
-            2 * ((raw - self.obs_min) / (self.obs_max - self.obs_min + 1e-6) - 0.5)
-        ).astype(np.float32)
+        from dppo_tpu.envs.wrappers.mujoco_locomotion import normalize_obs
+
+        return normalize_obs(raw, self.obs_min, self.obs_max).astype(
+            np.float32
+        )
 
     def _unnormalize_action(self, a: np.ndarray) -> np.ndarray:
-        return ((a + 1) / 2.0) * (self.action_max - self.action_min) + (
-            self.action_min
+        from dppo_tpu.envs.wrappers.mujoco_locomotion import (
+            unnormalize_action,
         )
+
+        return unnormalize_action(a, self.action_min, self.action_max)
 
     def _raw_obs(self, qpos: np.ndarray, qvel: np.ndarray) -> np.ndarray:
         if self.task["clip_qvel"] is not None:
@@ -203,9 +207,9 @@ class BatchedMujocoLocomotionEnv:
                 self._qvel[i] = self._init_qvel + rng.uniform(
                     -noise, noise, size=self.nv
                 )
-            else:  # halfcheetah: init_qvel + 0.1 * N(0,1)
-                self._qvel[i] = self._init_qvel + 0.1 * rng.standard_normal(
-                    self.nv
+            else:  # halfcheetah: init_qvel + noise_scale * N(0,1)
+                self._qvel[i] = (
+                    self._init_qvel + noise * rng.standard_normal(self.nv)
                 )
             self._time[i] = 0.0
             self._cnt[i] = 0
@@ -222,6 +226,8 @@ class BatchedMujocoLocomotionEnv:
         self._pending_seed = [int(s) for s in seeds]
 
     def reset_arg(self, options_list: Optional[Sequence[dict]] = None):
+        if self._pending is not None:
+            raise RuntimeError("cannot reset while a step_async is pending")
         if options_list is not None and not self._warned_video:
             if any("video_path" in (o or {}) for o in options_list):
                 log.warning(
@@ -240,12 +246,18 @@ class BatchedMujocoLocomotionEnv:
         return {"state": self._hist[env_ind].copy()}
 
     def step(self, actions: np.ndarray):
+        if self._pending is not None:
+            raise RuntimeError("cannot step while a step_async is pending")
         return self._step_impl(np.asarray(actions))
 
     def step_async(self, actions: np.ndarray):
+        if self._pending is not None:
+            raise RuntimeError("step_async called with a step already pending")
         self._pending = self._pool.submit(self._step_impl, np.asarray(actions))
 
     def step_wait(self):
+        if self._pending is None:
+            raise RuntimeError("step_wait called without a pending step_async")
         out = self._pending.result()
         self._pending = None
         return out

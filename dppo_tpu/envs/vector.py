@@ -43,6 +43,7 @@ class SyncVectorEnv:
     def __init__(self, env_fns: Sequence[Callable[[], Any]]):
         self.envs = [fn() for fn in env_fns]
         self.n_envs = len(self.envs)
+        self._pending_actions = None
 
     def seed(self, seeds: Sequence[int]):
         for env, s in zip(self.envs, seeds):
@@ -75,9 +76,13 @@ class SyncVectorEnv:
     # denoising chain off-device) with simulator stepping. Serial pool has no
     # real concurrency, so step_async just stashes the actions.
     def step_async(self, actions: np.ndarray):
+        if self._pending_actions is not None:
+            raise RuntimeError("step_async called with a step already pending")
         self._pending_actions = actions
 
     def step_wait(self):
+        if self._pending_actions is None:
+            raise RuntimeError("step_wait called without a pending step_async")
         actions = self._pending_actions
         self._pending_actions = None
         return self.step(actions)
@@ -204,6 +209,7 @@ class AsyncVectorEnv:
                 self._shm_names[w] = name
         self._pipes: list = [None] * n_workers
         self._procs: list = [None] * n_workers
+        self._waiting = False
         for w in range(n_workers):
             self._spawn(w)
 
@@ -225,6 +231,13 @@ class AsyncVectorEnv:
         self._procs[w] = proc
 
     def _send_all(self, cmd: str, per_worker_args=None, kwargs=None):
+        if self._waiting:
+            # a step_async reply is still in flight; pairing a new command's
+            # recv with the stale replies would desync the pipe protocol
+            raise RuntimeError(
+                f"cannot send {cmd!r} while a step_async is pending; call "
+                "step_wait first"
+            )
         kwargs = kwargs or {}
         for w, pipe in enumerate(self._pipes):
             args = per_worker_args[w] if per_worker_args is not None else ()
@@ -276,6 +289,10 @@ class AsyncVectorEnv:
         return self._merge_obs(shards)
 
     def reset_one_arg(self, env_ind: int, options: Optional[dict] = None):
+        if self._waiting:
+            raise RuntimeError(
+                "cannot reset_one_arg while a step_async is pending"
+            )
         w = int(np.searchsorted(self._bounds, env_ind, side="right") - 1)
         local = env_ind - self._bounds[w]
         pipe = self._pipes[w]
@@ -297,8 +314,12 @@ class AsyncVectorEnv:
         simulators run while the caller does host work (e.g. device→host
         chain fetch, buffer writes). Collect with `step_wait`."""
         self._send_all("step", [(s,) for s in self._shard(actions)])
+        self._waiting = True
 
     def step_wait(self):
+        if not self._waiting:
+            raise RuntimeError("step_wait called without a pending step_async")
+        self._waiting = False  # cleared even if a worker error raises below
         shards = self._recv_all()
         obs = self._merge_obs([s[0] for s in shards])
         rews = np.concatenate([s[1] for s in shards])

@@ -117,6 +117,16 @@ class FurnitureRLSimEnvMultiStepWrapper:
     def seed(self, seeds=None):
         pass  # IsaacGym envs do not need seeding (train_agent.py:61-64)
 
+    # split-phase step API (rollout loops call step_async/step_wait on every
+    # pool); the GPU-batched sim steps synchronously, so async just stashes
+    def step_async(self, actions: np.ndarray):
+        self._pending_actions = actions
+
+    def step_wait(self):
+        actions = self._pending_actions
+        self._pending_actions = None
+        return self.step(actions)
+
     def step(self, action: np.ndarray):
         """action: (n_envs, n_action_steps, action_dim) in [-1, 1]."""
         action = self.normalizer(action, "actions", forward=False)

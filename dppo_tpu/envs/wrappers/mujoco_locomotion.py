@@ -37,6 +37,16 @@ def resolve_env_id(name: str) -> str:
     return name
 
 
+def normalize_obs(obs, obs_min, obs_max):
+    """obs min/max → [-1, 1] (shared with the batched backend)."""
+    return 2 * ((obs - obs_min) / (obs_max - obs_min + 1e-6) - 0.5)
+
+
+def unnormalize_action(action, action_min, action_max):
+    """[-1, 1] → action min/max (shared with the batched backend)."""
+    return ((action + 1) / 2.0) * (action_max - action_min) + action_min
+
+
 class MujocoLocomotionLowdimWrapper:
     def __init__(self, env, normalization_path: str):
         self.env = env
@@ -52,13 +62,10 @@ class MujocoLocomotionLowdimWrapper:
         self._seed = seed
 
     def normalize_obs(self, obs):
-        return 2 * (
-            (obs - self.obs_min) / (self.obs_max - self.obs_min + 1e-6) - 0.5
-        )
+        return normalize_obs(obs, self.obs_min, self.obs_max)
 
     def unnormalize_action(self, action):
-        action = (action + 1) / 2.0
-        return action * (self.action_max - self.action_min) + self.action_min
+        return unnormalize_action(action, self.action_min, self.action_max)
 
     @staticmethod
     def _flatten_raw(raw_obs):

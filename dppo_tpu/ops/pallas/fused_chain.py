@@ -447,6 +447,19 @@ class FusedChainSampler:
         return Sample(traj, recorded)
 
 
+def normalize_fused_mode(value) -> str:
+    """Normalize a `train.fused_sampler` config value to off/auto/on.
+
+    YAML parses bare `on`/`off` as booleans, so accept those (and their
+    string forms) rather than silently treating them as unknown modes."""
+    if isinstance(value, bool):
+        return "on" if value else "off"
+    mode = {"true": "on", "false": "off"}.get(str(value).lower(), str(value).lower())
+    if mode not in ("off", "auto", "on"):
+        raise ValueError(f"fused_sampler must be off/auto/on, got {value!r}")
+    return mode
+
+
 def auto_fused_sampler(model, example_params, example_cond, mode="auto"):
     """Build a jitted fused-chain sampler matching `VPGDiffusion.sample`
     (signature (params, cond, rng, det) with `det` static), or return None.
@@ -461,6 +474,7 @@ def auto_fused_sampler(model, example_params, example_cond, mode="auto"):
         back to None.
       - "on":   attempt unconditionally and raise on failure.
     """
+    mode = normalize_fused_mode(mode)
     if mode == "off":
         return None
     import os as _os

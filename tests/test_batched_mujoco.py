@@ -207,3 +207,65 @@ def test_walker_and_cheetah_smoke(norm_path, tmp_path):
             assert np.isfinite(r).all()
             assert np.isfinite(obs["state"]).all()
         env.close()
+
+
+def test_batched_split_phase_guards(norm_path):
+    bat = _batched(norm_path, 40)
+    bat.seed([1, 2, 3, 4])
+    bat.reset_arg()
+    a = np.zeros((N_ENVS, ACT_STEPS, 3), np.float32)
+    with pytest.raises(RuntimeError):
+        bat.step_wait()
+    bat.step_async(a)
+    with pytest.raises(RuntimeError):
+        bat.step_async(a)
+    with pytest.raises(RuntimeError):
+        bat.step(a)
+    with pytest.raises(RuntimeError):
+        bat.reset_arg()
+    bat.step_wait()
+    bat.close()
+
+
+def test_make_async_backend_defaults_match_multistep(norm_path):
+    """Omitted multi_step keys default the same as MultiStep; unsupported
+    options are rejected rather than silently ignored."""
+    venv = make_async(
+        "hopper-medium-v2",
+        num_envs=2,
+        max_episode_steps=16,
+        backend="batched_mujoco",
+        wrappers={
+            "mujoco_locomotion_lowdim": {"normalization_path": norm_path},
+            "multi_step": {"n_obs_steps": 1, "n_action_steps": ACT_STEPS},
+        },
+    )
+    assert venv.reset_within_step is False  # MultiStep's default
+    venv.close()
+    for bad in [
+        {"reward_agg_method": "max"},
+        {"pass_full_observations": True},
+    ]:
+        with pytest.raises(NotImplementedError):
+            make_async(
+                "hopper-medium-v2",
+                num_envs=2,
+                max_episode_steps=16,
+                backend="batched_mujoco",
+                wrappers={
+                    "mujoco_locomotion_lowdim": {
+                        "normalization_path": norm_path
+                    },
+                    "multi_step": {"n_action_steps": ACT_STEPS, **bad},
+                },
+            )
+
+
+def test_fused_mode_normalization():
+    from dppo_tpu.ops.pallas.fused_chain import normalize_fused_mode
+
+    assert normalize_fused_mode(True) == "on"
+    assert normalize_fused_mode(False) == "off"  # YAML `off` parses as False
+    assert normalize_fused_mode("AUTO") == "auto"
+    with pytest.raises(ValueError):
+        normalize_fused_mode("sometimes")

@@ -138,3 +138,37 @@ def test_make_async_dummy_factory():
 def test_furniture_gated():
     with pytest.raises(NotImplementedError):
         make_async("one_leg", env_type="furniture", num_envs=2)
+
+
+def test_split_phase_guards():
+    """Pending-state guards: double step_async and bare step_wait raise, and
+    other commands are rejected while a step reply is in flight."""
+    import pytest
+
+    a = np.zeros((4, 2, ACT), np.float32)
+    sync = SyncVectorEnv([_env_fn for _ in range(4)])
+    sync.seed([0, 1, 2, 3])
+    sync.reset_arg()
+    with pytest.raises(RuntimeError):
+        sync.step_wait()
+    sync.step_async(a)
+    with pytest.raises(RuntimeError):
+        sync.step_async(a)
+    sync.step_wait()
+
+    asyn = AsyncVectorEnv([_env_fn for _ in range(4)], n_workers=2)
+    asyn.seed([0, 1, 2, 3])
+    asyn.reset_arg()
+    with pytest.raises(RuntimeError):
+        asyn.step_wait()
+    asyn.step_async(a)
+    with pytest.raises(RuntimeError):
+        asyn.step_async(a)
+    with pytest.raises(RuntimeError):
+        asyn.reset_arg()
+    with pytest.raises(RuntimeError):
+        asyn.reset_one_arg(0)
+    asyn.step_wait()  # protocol still in sync after the rejected calls
+    obs = asyn.reset_arg()
+    assert obs["state"].shape[0] == 4
+    asyn.close()
