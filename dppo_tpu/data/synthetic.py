@@ -83,7 +83,17 @@ def collect_gym_demos(
     """
     import gymnasium
 
-    env = gymnasium.make(env_id)
+    from dppo_tpu.envs.wrappers.mujoco_locomotion import resolve_env_spec
+
+    env_id, make_kwargs = resolve_env_spec(env_id)
+    env = gymnasium.make(env_id, **make_kwargs)
+
+    def flat(o):
+        # goal-env dicts (FrankaKitchen): take the observation vector
+        return np.asarray(
+            o["observation"] if isinstance(o, dict) else o, dtype=np.float32
+        )
+
     rng = np.random.default_rng(seed)
     states, actions, lengths = [], [], []
     for ep in range(n_episodes):
@@ -96,7 +106,7 @@ def collect_gym_demos(
                 -1,
                 1,
             ).astype(np.float32)
-            ep_s.append(np.asarray(obs, dtype=np.float32))
+            ep_s.append(flat(obs))
             ep_a.append(a)
             obs, r, term, trunc, _ = env.step(a)
             prev_a = a

@@ -15,7 +15,10 @@ from typing import Optional
 from dppo_tpu.envs.multi_step import MultiStep
 from dppo_tpu.envs.vector import AsyncVectorEnv, SyncVectorEnv
 from dppo_tpu.envs.wrappers import get_wrapper
-from dppo_tpu.envs.wrappers.mujoco_locomotion import resolve_env_id
+from dppo_tpu.envs.wrappers.mujoco_locomotion import (
+    resolve_env_id,
+    resolve_env_spec,
+)
 
 log = logging.getLogger(__name__)
 
@@ -91,8 +94,9 @@ class EnvFactory:
             # MultiStep owns the episode budget; effectively disable the
             # inner TimeLimit (reference bypasses gym's TimeLimit the same
             # way via MultiStep bookkeeping, multi_step.py:156-166)
+            env_id, make_kwargs = resolve_env_spec(self.env_name)
             raw = gymnasium.make(
-                resolve_env_id(self.env_name), max_episode_steps=int(1e9)
+                env_id, max_episode_steps=int(1e9), **make_kwargs
             )
             key = "mujoco_locomotion_lowdim"
             if key in wrappers:

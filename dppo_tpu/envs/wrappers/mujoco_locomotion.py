@@ -23,18 +23,42 @@ D4RL_TO_GYMNASIUM = {
 }
 
 
+# d4rl's kitchen task sets (d4rl kitchen_envs.py: complete/partial both use
+# the microwave-kettle-light-slider env; mixed uses bottom burner instead of
+# the slide cabinet)
+KITCHEN_TASKS = {
+    "complete": ["microwave", "kettle", "light switch", "slide cabinet"],
+    "partial": ["microwave", "kettle", "light switch", "slide cabinet"],
+    "mixed": ["microwave", "kettle", "bottom burner", "light switch"],
+}
+
+
 def resolve_env_id(name: str) -> str:
+    env_id, _ = resolve_env_spec(name)
+    return env_id
+
+
+def resolve_env_spec(name: str):
+    """Map a d4rl-style env name to (gymnasium env id, make kwargs)."""
     base = name.split("-")[0].lower()
     if base in D4RL_TO_GYMNASIUM:
-        return D4RL_TO_GYMNASIUM[base]
+        return D4RL_TO_GYMNASIUM[base], {}
     if base == "kitchen":
-        # d4rl kitchen-{complete,partial,mixed}-v0 -> gymnasium-robotics
+        # d4rl kitchen-{complete,partial,mixed}-v0 -> gymnasium-robotics.
+        # NOTE: the native observation is 59-dim (robot + object state);
+        # d4rl's 60-dim (qp, obj_qp, goal) layout is a d4rl-ism that cannot
+        # be reconstructed without d4rl itself — shipped kitchen configs use
+        # obs_dim 59 accordingly.
         import gymnasium
         import gymnasium_robotics
 
         gymnasium.register_envs(gymnasium_robotics)
-        return "FrankaKitchen-v1"
-    return name
+        variant = name.split("-")[1].lower() if "-" in name else "complete"
+        kwargs = {}
+        if variant in KITCHEN_TASKS:
+            kwargs["tasks_to_complete"] = KITCHEN_TASKS[variant]
+        return "FrankaKitchen-v1", kwargs
+    return name, {}
 
 
 def normalize_obs(obs, obs_min, obs_max):
