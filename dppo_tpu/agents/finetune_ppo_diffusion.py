@@ -519,7 +519,10 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
                 with phase_timer.phase("env"):
                     # dispatch the simulators first, then fetch the chain
                     # (device→host) and fill buffers while they step
-                    self.venv.step_async(action_venv)
+                    # (plain step for external venvs without the split API)
+                    split = hasattr(self.venv, "step_async")
+                    if split:
+                        self.venv.step_async(action_venv)
                     chains_venv = np.asarray(samples.chains)
                     for k in self.obs_dims:
                         obs_trajs[k][step] = prev_obs_venv[k]
@@ -530,7 +533,11 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
                         terminated_venv,
                         truncated_venv,
                         info_venv,
-                    ) = self.venv.step_wait()
+                    ) = (
+                        self.venv.step_wait()
+                        if split
+                        else self.venv.step(action_venv)
+                    )
                 done_venv = terminated_venv | truncated_venv
                 if self.save_full_observations:
                     obs_full_venv = np.array(

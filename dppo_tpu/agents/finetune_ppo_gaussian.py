@@ -301,13 +301,17 @@ class TrainPPOGaussianAgent(TrainPPOAgent):
                 )
                 output_venv = np.asarray(action_samples)
                 action_venv = output_venv[:, : self.act_steps]
-                # overlap buffer writes with simulator stepping
-                self.venv.step_async(action_venv)
+                # overlap buffer writes with simulator stepping (plain step
+                # for external venvs without the split API)
+                split = hasattr(self.venv, "step_async")
+                if split:
+                    self.venv.step_async(action_venv)
                 for k in self.obs_dims:
                     obs_trajs[k][step] = prev_obs_venv[k]
                 samples_trajs[step] = output_venv
                 obs_venv, reward_venv, terminated_venv, truncated_venv, _ = (
-                    self.venv.step_wait()
+                    self.venv.step_wait() if split
+                    else self.venv.step(action_venv)
                 )
                 done_venv = terminated_venv | truncated_venv
                 reward_trajs[step] = reward_venv
