@@ -188,6 +188,163 @@ def _chain_kernel(
     jax.lax.fori_loop(0, K, step, x)
 
 
+def _chain_kernel_planes(
+    coef_ref,  # (5, K) f32 SMEM: c1, c2, denoised_clip, final_clip_flag,
+    #            final_clip_value
+    x0_ref,  # (Bp, OUT_P) VMEM
+    state_ref,  # (Bp, IN_P) VMEM — state already placed at its column offset
+    temb_ref,  # (K, LANE) VMEM — per-step time embedding (padded to LANE)
+    noise_ref,  # (K, Bp, OUT_P) VMEM — pre-scaled by the per-element std
+    mu1_ref,  # (K, Bp, OUT_P) VMEM — per-element posterior coef on x_recon
+    mu2_ref,  # (K, Bp, OUT_P) VMEM — per-element posterior coef on x
+    w0_ref, b0_ref, wl1_ref, bl1_ref, wl2_ref, bl2_ref, w3_ref, b3_ref,
+    chain_ref,  # (K + 1, Bp, OUT_P) VMEM out
+    *,
+    K: int,
+    x_dim: int,
+    time_dim: int,
+):
+    """Per-element-coefficient variant of `_chain_kernel` for DDIM with a
+    per-sample / per-action-dim η module (EtaAction/EtaState/EtaStateAction):
+    σ — and through it mu1/mu2 — varies across the batch and action dims, so
+    those coefficients arrive as (K, B, x_dim) planes instead of per-step
+    scalars; std is folded into the pre-scaled noise input."""
+    x = x0_ref[:]
+    chain_ref[0] = x
+    Bp = x.shape[0]
+
+    def step(i, x):
+        inp = state_ref[:]
+        inp = jax.lax.dynamic_update_slice(inp, x[:, :x_dim], (0, 0))
+        temb_row = temb_ref[i, :time_dim][None, :]
+        inp = jax.lax.dynamic_update_slice(
+            inp, jnp.broadcast_to(temb_row, (Bp, time_dim)), (0, x_dim)
+        )
+
+        h = (
+            jnp.dot(inp, w0_ref[:], preferred_element_type=jnp.float32)
+            + b0_ref[:]
+        )
+        t1 = (
+            jnp.dot(
+                jnp.maximum(h, 0.0), wl1_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + bl1_ref[:]
+        )
+        t2 = (
+            jnp.dot(
+                jnp.maximum(t1, 0.0), wl2_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + bl2_ref[:]
+        )
+        r = t2 + h
+        eps = (
+            jnp.dot(r, w3_ref[:], preferred_element_type=jnp.float32)
+            + b3_ref[:]
+        )
+
+        c1 = coef_ref[0, i]
+        c2 = coef_ref[1, i]
+        dclip = coef_ref[2, i]
+        fclip_flag = coef_ref[3, i]
+        fclip_val = coef_ref[4, i]
+
+        x_recon = c1 * x - c2 * eps
+        x_recon = jnp.clip(x_recon, -dclip, dclip)
+        new_x = mu1_ref[i] * x_recon + mu2_ref[i] * x + noise_ref[i]
+        new_x = jnp.where(
+            fclip_flag > 0.5,
+            jnp.clip(new_x, -fclip_val, fclip_val),
+            new_x,
+        )
+        chain_ref[i + 1] = new_x
+        return new_x
+
+    jax.lax.fori_loop(0, K, step, x)
+
+
+def fused_chain_planes(
+    packed: PackedMLP,
+    coefs: jnp.ndarray,  # (5, K): c1, c2, dclip, fflag, fval
+    mu1: jnp.ndarray,  # (K, B, x_dim)
+    mu2: jnp.ndarray,  # (K, B, x_dim)
+    x0: jnp.ndarray,  # (B, x_dim)
+    state_row: jnp.ndarray,  # (B, IN_P) with state placed at offset
+    temb: jnp.ndarray,  # (K, time_dim)
+    noise_scaled: jnp.ndarray,  # (K, B, x_dim) — already multiplied by std
+    *,
+    x_dim: int,
+    time_dim: int,
+):
+    """Returns the chain (K+1, B, x_dim) for the per-element-coef DDIM path."""
+    K = coefs.shape[1]
+    B = x0.shape[0]
+    Bp = _round_up(B, 8)
+    IN_P = state_row.shape[1]
+    OUT_P = packed.w3.shape[1]
+    LANE_T = _round_up(time_dim, LANE)
+
+    x0_p = jnp.zeros((Bp, OUT_P), jnp.float32).at[:B, :x_dim].set(x0)
+    state_p = jnp.zeros((Bp, IN_P), jnp.float32).at[:B].set(state_row)
+    temb_p = jnp.zeros((K, LANE_T), jnp.float32).at[:, :time_dim].set(temb)
+
+    def _pad_plane(p):
+        return (
+            jnp.zeros((K, Bp, OUT_P), jnp.float32).at[:, :B, :x_dim].set(p)
+        )
+
+    kernel = functools.partial(
+        _chain_kernel_planes, K=K, x_dim=x_dim, time_dim=time_dim
+    )
+    chain = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K + 1, Bp, OUT_P), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # coefs
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # state
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # temb
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # noise (pre-scaled)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mu1 plane
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mu2 plane
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wl1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bl1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wl2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bl2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w3
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b3
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * Bp * (IN_P * 512 + 2 * 512 * 512 + 512 * OUT_P),
+            bytes_accessed=(3 * K + 1) * Bp * OUT_P * 4
+            + 4 * (IN_P * 512 + 2 * 512 * 512 + 512 * OUT_P),
+            transcendentals=0,
+        ),
+    )(
+        coefs,
+        x0_p,
+        state_p,
+        temb_p,
+        _pad_plane(noise_scaled),
+        _pad_plane(mu1),
+        _pad_plane(mu2),
+        packed.w0,
+        packed.b0,
+        packed.wl1,
+        packed.bl1,
+        packed.wl2,
+        packed.bl2,
+        packed.w3,
+        packed.b3,
+    )
+    return chain[:, :B, :x_dim]
+
+
 def fused_ddpm_chain(
     packed: PackedMLP,
     coefs: jnp.ndarray,  # (8, K)
@@ -263,8 +420,9 @@ def fused_ddpm_chain(
 class FusedChainSampler:
     """Wires the fused kernel to a VPGDiffusion-style model.
 
-    Usage (opt-in fast path; residual-MLP denoiser; DDPM, or DDIM with a
-    global η — none or EtaFixed, learnable included — and no eps clip):
+    Usage (opt-in fast path; residual-MLP denoiser; DDPM, or DDIM with any
+    η module — global scalar, per-action-dim, or state-conditioned,
+    learnable included — and no eps clip):
         sampler = FusedChainSampler(model)
         sample = sampler(params, cond, rng, deterministic=False)
 
@@ -272,22 +430,28 @@ class FusedChainSampler:
     selection, std floors (min_sampling_denoising_std, eval 1e-3/0 rules,
     DDIM σ_η), randn clipping, denoised clip (with DDIM ε-recompute folded
     into the posterior coefficients), final action clip, chain recording of
-    the last K_ft + 1 states.
+    the last K_ft + 1 states. Per-sample η modules route to the
+    plane-coefficient kernel (`fused_chain_planes`): η(cond) is evaluated
+    once per query outside the kernel, expanded to (K, B, x_dim) mu1/mu2/std
+    planes, and std is folded into the noise input.
     """
 
     def __init__(self, model):
+        self.per_sample_eta = False
         if model.use_ddim:
             # the DDIM update with ε-recompute-after-clip is algebraically
             # mu1·x_recon + mu2·x — the same kernel body as DDPM — as long as
-            # ε itself isn't clipped, and σ reduces to a per-step scalar only
-            # for a global η (none, or a learned EtaFixed scalar)
+            # ε itself isn't clipped. For a global η (none, or a learned
+            # EtaFixed scalar) σ reduces to a per-step scalar; per-sample /
+            # per-action-dim η modules (EtaAction/EtaState/EtaStateAction)
+            # take the plane-coefficient kernel where mu1/mu2/std are
+            # (K, B, x_dim) planes precomputed from η(cond) outside.
             assert model.eps_clip_value is None, (
                 "fused DDIM path does not support eps_clip_value"
             )
             em = model.eta_module
-            assert em is None or type(em).__name__ == "EtaFixed", (
-                "fused DDIM path supports only global η (None or EtaFixed); "
-                f"got {type(em).__name__}"
+            self.per_sample_eta = (
+                em is not None and type(em).__name__ != "EtaFixed"
             )
         self.model = model
         net = model.network
@@ -339,6 +503,53 @@ class FusedChainSampler:
             jnp.float32
         )
 
+    def _planes_ddim(self, params, cond, deterministic: bool):
+        """DDIM with per-sample η: 5-row scalar coef table + (K, B, x_dim)
+        mu1/mu2/std planes. Same math as `_coefs_ddim` with η(cond) varying
+        over (batch, action-dim); the η→flat-dim layout matches the scan
+        sampler's broadcast (eta_value[:, None] over (B, Ta, Da))."""
+        m = self.model
+        K = m.ddim_steps
+        al = m.ddim.alphas
+        al_prev = m.ddim.alphas_prev
+        som = m.ddim.sqrt_one_minus_alphas
+        eta_value = m._eta_value(params, cond, deterministic)  # (B,1)/(B,Da)
+        B = eta_value.shape[0]
+        if eta_value.shape[1] == 1:
+            eta_flat = jnp.broadcast_to(eta_value, (B, self.x_dim))
+        else:
+            # flat dim d = ta*Da + da → η per flat dim repeats over Ta
+            eta_flat = jnp.tile(eta_value, (1, m.horizon_steps))
+        s = jnp.sqrt((1 - al_prev) / (1 - al) * (1 - al / al_prev))  # (K,)
+        sigma = jnp.maximum(eta_flat[None] * s[:, None, None], 1e-10)
+        dir_coef = jnp.sqrt(
+            jnp.maximum(1.0 - al_prev[:, None, None] - sigma**2, 1e-12)
+        )
+        mu1 = (
+            jnp.sqrt(al_prev)[:, None, None]
+            - dir_coef * (jnp.sqrt(al) / som)[:, None, None]
+        )
+        mu2 = dir_coef / som[:, None, None]
+        if deterministic:
+            std = jnp.zeros_like(sigma)
+        else:
+            std = jnp.clip(sigma, m.get_min_sampling_denoising_std(), None)
+        c1 = 1.0 / np.sqrt(np.asarray(al))
+        c2 = np.asarray(som) / np.sqrt(np.asarray(al))
+        dclip = np.full(
+            K,
+            m.denoised_clip_value if m.denoised_clip_value is not None else 1e9,
+        )
+        fflag = np.zeros(K)
+        fval = np.ones(K)
+        if m.final_action_clip_value is not None:
+            fflag[-1] = 1.0
+            fval[-1] = m.final_action_clip_value
+        coefs = jnp.asarray(
+            np.stack([c1, c2, dclip, fflag, fval]).astype(np.float32)
+        )
+        return coefs, mu1.astype(jnp.float32), mu2.astype(jnp.float32), std
+
     def _coefs(self, deterministic: bool) -> np.ndarray:
         m = self.model
         K = m.denoising_steps
@@ -385,7 +596,13 @@ class FusedChainSampler:
             -m.randn_clip_value,
             m.randn_clip_value,
         )
-        if m.use_ddim:
+        planes = None
+        if m.use_ddim and self.per_sample_eta:
+            coefs, mu1, mu2, std = self._planes_ddim(
+                params, cond, deterministic
+            )
+            planes = (mu1, mu2, std * noise)
+        elif m.use_ddim:
             coefs = self._coefs_ddim(params, cond, deterministic)
         else:
             coefs = jnp.asarray(self._coefs(deterministic))
@@ -406,38 +623,28 @@ class FusedChainSampler:
             sample_actor, t_sched, self.time_dim
         )
 
+        def launch(packed, temb, x_start, lo, hi):
+            if planes is None:
+                return fused_ddpm_chain(
+                    packed, coefs[:, lo:hi], x_start, state_row,
+                    temb[lo:hi], noise[lo:hi],
+                    x_dim=self.x_dim, time_dim=self.time_dim,
+                )
+            mu1, mu2, noise_scaled = planes
+            return fused_chain_planes(
+                packed, coefs[:, lo:hi], mu1[lo:hi], mu2[lo:hi],
+                x_start, state_row, temb[lo:hi], noise_scaled[lo:hi],
+                x_dim=self.x_dim, time_dim=self.time_dim,
+            )
+
         if base_steps == 0:
-            chain = fused_ddpm_chain(
-                packed_ft, coefs, x0, state_row, temb_ft, noise,
-                x_dim=self.x_dim, time_dim=self.time_dim,
-            )
+            chain = launch(packed_ft, temb_ft, x0, 0, K)
         elif base_steps == K:
-            chain = fused_ddpm_chain(
-                packed_base, coefs, x0, state_row, temb_base, noise,
-                x_dim=self.x_dim, time_dim=self.time_dim,
-            )
+            chain = launch(packed_base, temb_base, x0, 0, K)
         else:
             # two kernel launches: base prefix, then ft suffix from handoff
-            chain_a = fused_ddpm_chain(
-                packed_base,
-                coefs[:, :base_steps],
-                x0,
-                state_row,
-                temb_base[:base_steps],
-                noise[:base_steps],
-                x_dim=self.x_dim,
-                time_dim=self.time_dim,
-            )
-            chain_b = fused_ddpm_chain(
-                packed_ft,
-                coefs[:, base_steps:],
-                chain_a[-1],
-                state_row,
-                temb_ft[base_steps:],
-                noise[base_steps:],
-                x_dim=self.x_dim,
-                time_dim=self.time_dim,
-            )
+            chain_a = launch(packed_base, temb_base, x0, 0, base_steps)
+            chain_b = launch(packed_ft, temb_ft, chain_a[-1], base_steps, K)
             chain = jnp.concatenate([chain_a, chain_b[1:]], axis=0)
 
         Ta, Da = m.horizon_steps, m.action_dim
@@ -469,8 +676,8 @@ def auto_fused_sampler(model, example_params, example_cond, mode="auto"):
       - "auto": only on a real TPU backend (`jax.default_backend() == "tpu"`)
         — the axon tunnel backend hangs compiling Mosaic kernels and CPU has
         no Pallas TPU lowering — and only if the model qualifies
-        (single-residual-block DiffusionMLP; DDPM, or DDIM with global η and
-        no eps clip) and a probe compile + run succeeds. Any failure falls
+        (single-residual-block DiffusionMLP; DDPM, or DDIM with no eps clip;
+        any η module) and a probe compile + run succeeds. Any failure falls
         back to None.
       - "on":   attempt unconditionally and raise on failure.
     """

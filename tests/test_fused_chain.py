@@ -179,14 +179,68 @@ def test_fused_chain_matches_scan_ddim(with_eta, deterministic):
 
 
 def test_fused_rejects_unsupported_ddim():
-    from dppo_tpu.diffusion.eta import EtaState
-
     m = _model(ft=3, use_ddim=True, ddim_steps=DDIM_K, eps_clip_value=1.0)
     with pytest.raises(AssertionError):
         FusedChainSampler(m)
-    m = _model(
+
+
+def _eta_module(kind):
+    from dppo_tpu.diffusion.eta import EtaAction, EtaState, EtaStateAction
+
+    if kind == "action":
+        return EtaAction(action_dim=Da, base_eta=0.6, min_eta=0.1, max_eta=1.0)
+    if kind == "state":
+        return EtaState(input_dim=Do, mlp_dims=[8], out_dim=1)
+    return EtaStateAction(input_dim=Do, mlp_dims=[8], action_dim=Da)
+
+
+@pytest.mark.parametrize("kind", ["action", "state", "state_action"])
+@pytest.mark.parametrize("deterministic", [False, True])
+def test_fused_chain_matches_scan_ddim_per_sample_eta(kind, deterministic):
+    """Per-sample η modules take the plane-coefficient kernel; it must match
+    the per-step scan math exactly. The zero-initialised η heads are
+    perturbed so η actually varies across the batch/action dims."""
+    model = _model(
         ft=3, use_ddim=True, ddim_steps=DDIM_K,
-        eta=EtaState(input_dim=Do, mlp_dims=[8], out_dim=1), learn_eta=True,
+        eta=_eta_module(kind), learn_eta=True,
     )
-    with pytest.raises(AssertionError):
-        FusedChainSampler(m)
+    cond = {"state": jax.random.normal(jax.random.key(0), (B, 1, Do))}
+    params = model.init_vpg_params(jax.random.key(1), cond)
+    params = params._replace(
+        actor_ft=jax.tree_util.tree_map(lambda x: x * 1.1, params.actor_ft),
+        eta=jax.tree_util.tree_map(
+            lambda x: x
+            + 0.3 * jax.random.normal(jax.random.key(7), x.shape),
+            params.eta,
+        ),
+    )
+    eta_val = model.eta_module.apply(params.eta, cond)
+    assert float(jnp.std(eta_val)) > 0 or kind == "action"
+    sampler = FusedChainSampler(model)
+    assert sampler.per_sample_eta
+    rng = jax.random.key(2)
+    rng_x, rng_n = jax.random.split(rng)
+    x0 = jax.random.normal(rng_x, (B, Ta * Da))
+    noise = jnp.clip(
+        jax.random.normal(rng_n, (DDIM_K, B, Ta * Da)), -3, 3
+    )
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = sampler(params, cond, rng, deterministic=deterministic)
+
+    ref_chain = _reference_chain_with_noise(
+        model, params, cond,
+        x0.reshape(B, Ta, Da),
+        noise.reshape(DDIM_K, B, Ta, Da),
+        deterministic,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.trajectories), np.asarray(ref_chain[-1]),
+        rtol=2e-4, atol=2e-5,
+    )
+    expected_rec = jnp.swapaxes(ref_chain[DDIM_K - 3 :], 0, 1)
+    np.testing.assert_allclose(
+        np.asarray(out.chains), np.asarray(expected_rec), rtol=2e-4, atol=2e-5
+    )
