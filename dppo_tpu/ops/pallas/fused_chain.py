@@ -10,13 +10,18 @@ the full reverse process — network forward, x₀ reconstruction + clip,
 posterior mean, noise injection — in a single `fori_loop`, writing the
 denoising chain as it goes.
 
-Supported network shape: DiffusionMLP with `residual_style=True` and an odd
-`len(mlp_dims)` of equal widths (dim_list [in, W, W, W, out] — one
-two-layer pre-activation residual block), no layernorm — exactly the
-reference's gym/robomimic state-policy architecture
+Supported network shape: DiffusionMLP with `residual_style=True`,
+`mlp_dims` of length 3 with equal widths (dim_list [in, W, W, W, out] —
+one two-layer pre-activation residual block), no layernorm, ReLU or Mish
+activation, optionally a cond MLP — exactly the reference's gym /
+robomimic / d3il state-policy architectures
 (`cfg/gym/finetune/hopper-v2/ft_ppo_diffusion_mlp.yaml:91`). The per-step
-time embeddings (a function of the static timestep only) and the per-step
-posterior coefficients are precomputed outside the kernel.
+time embeddings (a function of the static timestep only), the cond-MLP
+state embedding (a function of the query's observation only, computed per
+actor since base/ft own separate cond-MLP weights), and the per-step
+posterior coefficients are all precomputed outside the kernel. Everything
+else is validated at construction — unsupported models raise rather than
+silently computing the wrong function.
 
 Noise is supplied as an input (generated with `jax.random.normal` outside),
 so fused and unfused samplers agree bit-for-bit given the same draws
@@ -47,6 +52,15 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _activation_fn(name: str):
+    """Elementwise activation inside the kernel (VPU ops only)."""
+    if name == "ReLU":
+        return lambda v: jnp.maximum(v, 0.0)
+    if name == "Mish":
+        return lambda v: v * jnp.tanh(jax.nn.softplus(v))
+    raise ValueError(f"unsupported fused-kernel activation {name!r}")
+
+
 class PackedMLP(NamedTuple):
     """Padded weight matrices of the flagship denoiser, plus layout info."""
 
@@ -69,6 +83,13 @@ def pack_diffusion_mlp(params, x_dim: int, time_dim: int, cond_dim: int):
     """
     p = params["params"]
     mlp = p["ResidualMLP_0"]
+    expected = {"Dense_0", "TwoLayerPreActivationResNetLinear_0", "Dense_1"}
+    if set(mlp.keys()) != expected:
+        raise ValueError(
+            "fused chain kernel supports exactly one pre-activation residual "
+            "block without layernorm (mlp_dims of length 3, equal widths); "
+            f"got trunk submodules {sorted(mlp.keys())}"
+        )
     w0_raw = mlp["Dense_0"]["kernel"]  # (in, W)
     b0 = mlp["Dense_0"]["bias"]
     blk = mlp["TwoLayerPreActivationResNetLinear_0"]
@@ -124,10 +145,12 @@ def _chain_kernel(
     K: int,
     x_dim: int,
     time_dim: int,
+    activation: str = "ReLU",
 ):
     x = x0_ref[:]  # (Bp, OUT_P); action lives in cols [0:x_dim]
     chain_ref[0] = x
     Bp = x.shape[0]
+    act = _activation_fn(activation)
 
     def step(i, x):
         # assemble input row: state (preplaced) + x segment + time segment
@@ -146,14 +169,14 @@ def _chain_kernel(
         )
         t1 = (
             jnp.dot(
-                jnp.maximum(h, 0.0), wl1_ref[:],
+                act(h), wl1_ref[:],
                 preferred_element_type=jnp.float32,
             )
             + bl1_ref[:]
         )
         t2 = (
             jnp.dot(
-                jnp.maximum(t1, 0.0), wl2_ref[:],
+                act(t1), wl2_ref[:],
                 preferred_element_type=jnp.float32,
             )
             + bl2_ref[:]
@@ -203,6 +226,7 @@ def _chain_kernel_planes(
     K: int,
     x_dim: int,
     time_dim: int,
+    activation: str = "ReLU",
 ):
     """Per-element-coefficient variant of `_chain_kernel` for DDIM with a
     per-sample / per-action-dim η module (EtaAction/EtaState/EtaStateAction):
@@ -212,6 +236,7 @@ def _chain_kernel_planes(
     x = x0_ref[:]
     chain_ref[0] = x
     Bp = x.shape[0]
+    act = _activation_fn(activation)
 
     def step(i, x):
         inp = state_ref[:]
@@ -227,14 +252,14 @@ def _chain_kernel_planes(
         )
         t1 = (
             jnp.dot(
-                jnp.maximum(h, 0.0), wl1_ref[:],
+                act(h), wl1_ref[:],
                 preferred_element_type=jnp.float32,
             )
             + bl1_ref[:]
         )
         t2 = (
             jnp.dot(
-                jnp.maximum(t1, 0.0), wl2_ref[:],
+                act(t1), wl2_ref[:],
                 preferred_element_type=jnp.float32,
             )
             + bl2_ref[:]
@@ -277,6 +302,7 @@ def fused_chain_planes(
     *,
     x_dim: int,
     time_dim: int,
+    activation: str = "ReLU",
 ):
     """Returns the chain (K+1, B, x_dim) for the per-element-coef DDIM path."""
     K = coefs.shape[1]
@@ -296,7 +322,8 @@ def fused_chain_planes(
         )
 
     kernel = functools.partial(
-        _chain_kernel_planes, K=K, x_dim=x_dim, time_dim=time_dim
+        _chain_kernel_planes, K=K, x_dim=x_dim, time_dim=time_dim,
+        activation=activation,
     )
     chain = pl.pallas_call(
         kernel,
@@ -355,6 +382,7 @@ def fused_ddpm_chain(
     *,
     x_dim: int,
     time_dim: int,
+    activation: str = "ReLU",
 ):
     """Returns the chain (K+1, B, x_dim) of denoising states."""
     K = coefs.shape[1]
@@ -372,7 +400,8 @@ def fused_ddpm_chain(
     )
 
     kernel = functools.partial(
-        _chain_kernel, K=K, x_dim=x_dim, time_dim=time_dim
+        _chain_kernel, K=K, x_dim=x_dim, time_dim=time_dim,
+        activation=activation,
     )
     chain = pl.pallas_call(
         kernel,
@@ -455,9 +484,35 @@ class FusedChainSampler:
             )
         self.model = model
         net = model.network
+        # the kernel bakes in the flagship denoiser shape — validate rather
+        # than silently computing the wrong function for other architectures
+        assert type(net).__name__ == "DiffusionMLP", (
+            f"fused chain kernel requires DiffusionMLP, got {type(net).__name__}"
+        )
+        assert net.residual_style and not net.use_layernorm, (
+            "fused chain kernel requires residual_style=True, use_layernorm=False"
+        )
+        dims = list(net.mlp_dims)
+        assert len(dims) == 3 and len(set(dims)) == 1, (
+            f"fused chain kernel supports one residual block of equal widths "
+            f"(mlp_dims like [W, W, W]); got {dims}"
+        )
+        _activation_fn(net.activation_type)  # raises on unsupported
+        assert net.out_activation_type == "Identity", (
+            "fused chain kernel requires Identity output activation"
+        )
+        self.activation = net.activation_type
         self.x_dim = model.horizon_steps * model.action_dim
         self.time_dim = net.time_dim
-        self.cond_dim = net.cond_dim
+        # with a cond MLP the trunk consumes the embedded state, which is
+        # static per query and precomputed outside the kernel (per actor —
+        # base and ft own separate cond-MLP weights)
+        self.cond_mlp_dims = (
+            list(net.cond_mlp_dims) if net.cond_mlp_dims else None
+        )
+        self.cond_dim = (
+            self.cond_mlp_dims[-1] if self.cond_mlp_dims else net.cond_dim
+        )
         self.in_dim = self.x_dim + self.time_dim + self.cond_dim
         self.IN_P = _round_up(self.in_dim, LANE)
 
@@ -585,9 +640,20 @@ class FusedChainSampler:
         K, K_ft = m.n_sampling_steps, m.ft_denoising_steps
         B = cond["state"].shape[0]
         state = cond["state"].reshape(B, -1)
-        state_row = jnp.zeros((B, self.IN_P)).at[
-            :, self.x_dim + self.time_dim : self.in_dim
-        ].set(state)
+
+        def _state_row(actor_params):
+            s = state
+            if self.cond_mlp_dims:
+                from dppo_tpu.nets.mlp import MLP
+
+                s = MLP(
+                    [m.network.cond_dim] + self.cond_mlp_dims,
+                    activation_type=m.network.activation_type,
+                    out_activation_type="Identity",
+                ).apply({"params": actor_params["params"]["MLP_0"]}, state)
+            return jnp.zeros((B, self.IN_P)).at[
+                :, self.x_dim + self.time_dim : self.in_dim
+            ].set(s)
 
         rng_x, rng_n = jax.random.split(rng)
         x0 = jax.random.normal(rng_x, (B, self.x_dim))
@@ -622,29 +688,35 @@ class FusedChainSampler:
         temb_ft = precompute_time_embeddings(
             sample_actor, t_sched, self.time_dim
         )
+        row_base = _state_row(params.actor)
+        row_ft = _state_row(sample_actor)
 
-        def launch(packed, temb, x_start, lo, hi):
+        def launch(packed, temb, state_row, x_start, lo, hi):
             if planes is None:
                 return fused_ddpm_chain(
                     packed, coefs[:, lo:hi], x_start, state_row,
                     temb[lo:hi], noise[lo:hi],
                     x_dim=self.x_dim, time_dim=self.time_dim,
+                    activation=self.activation,
                 )
             mu1, mu2, noise_scaled = planes
             return fused_chain_planes(
                 packed, coefs[:, lo:hi], mu1[lo:hi], mu2[lo:hi],
                 x_start, state_row, temb[lo:hi], noise_scaled[lo:hi],
                 x_dim=self.x_dim, time_dim=self.time_dim,
+                activation=self.activation,
             )
 
         if base_steps == 0:
-            chain = launch(packed_ft, temb_ft, x0, 0, K)
+            chain = launch(packed_ft, temb_ft, row_ft, x0, 0, K)
         elif base_steps == K:
-            chain = launch(packed_base, temb_base, x0, 0, K)
+            chain = launch(packed_base, temb_base, row_base, x0, 0, K)
         else:
             # two kernel launches: base prefix, then ft suffix from handoff
-            chain_a = launch(packed_base, temb_base, x0, 0, base_steps)
-            chain_b = launch(packed_ft, temb_ft, chain_a[-1], base_steps, K)
+            chain_a = launch(packed_base, temb_base, row_base, x0, 0, base_steps)
+            chain_b = launch(
+                packed_ft, temb_ft, row_ft, chain_a[-1], base_steps, K
+            )
             chain = jnp.concatenate([chain_a, chain_b[1:]], axis=0)
 
         Ta, Da = m.horizon_steps, m.action_dim

@@ -18,10 +18,12 @@ from dppo_tpu.ops.pallas.fused_chain import (
 B, Ta, Da, Do, K, K_ft = 5, 4, 3, 11, 8, 4
 
 
-def _model(**kw):
+def _model(activation="ReLU", cond_mlp_dims=None, mlp_dims=None, **kw):
     actor = DiffusionMLP(
         action_dim=Da, horizon_steps=Ta, cond_dim=Do, time_dim=16,
-        mlp_dims=[64, 64, 64], activation_type="ReLU", residual_style=True,
+        mlp_dims=mlp_dims or [64, 64, 64], activation_type=activation,
+        residual_style=True, cond_mlp_dims=cond_mlp_dims,
+        use_layernorm=kw.pop("use_layernorm", False),
     )
     critic = CriticObs(cond_dim=Do, mlp_dims=[32, 32])
     return VPGDiffusion(
@@ -182,6 +184,58 @@ def test_fused_rejects_unsupported_ddim():
     m = _model(ft=3, use_ddim=True, ddim_steps=DDIM_K, eps_clip_value=1.0)
     with pytest.raises(AssertionError):
         FusedChainSampler(m)
+
+
+def test_fused_rejects_unsupported_network():
+    """Architectures the kernel does not implement must raise at
+    construction — never silently compute the wrong function."""
+    with pytest.raises(AssertionError):
+        FusedChainSampler(_model(use_layernorm=True))
+    with pytest.raises(AssertionError):
+        FusedChainSampler(_model(mlp_dims=[32, 32, 32, 32, 32]))  # 2 blocks
+    with pytest.raises(ValueError):
+        FusedChainSampler(_model(activation="GELU"))
+
+
+@pytest.mark.parametrize(
+    "activation,cond_mlp_dims",
+    [("Mish", None), ("ReLU", [24, 24]), ("Mish", [24, 24])],
+)
+def test_fused_chain_matches_scan_mish_cond_mlp(activation, cond_mlp_dims):
+    """Mish trunk activation and/or a cond MLP (the d3il/robomimic state
+    denoiser shapes): fused must still match the scan math. The cond-MLP
+    state embedding is precomputed per actor outside the kernel."""
+    model = _model(activation=activation, cond_mlp_dims=cond_mlp_dims, ft=K_ft)
+    cond = {"state": jax.random.normal(jax.random.key(0), (B, 1, Do))}
+    params = model.init_vpg_params(jax.random.key(1), cond)
+    params = params._replace(
+        actor_ft=jax.tree_util.tree_map(lambda x: x * 1.1, params.actor_ft)
+    )
+    sampler = FusedChainSampler(model)
+    rng = jax.random.key(2)
+    rng_x, rng_n = jax.random.split(rng)
+    x0 = jax.random.normal(rng_x, (B, Ta * Da))
+    noise = jnp.clip(jax.random.normal(rng_n, (K, B, Ta * Da)), -3, 3)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = sampler(params, cond, rng, deterministic=False)
+
+    ref_chain = _reference_chain_with_noise(
+        model, params, cond,
+        x0.reshape(B, Ta, Da),
+        noise.reshape(K, B, Ta, Da),
+        deterministic=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.trajectories), np.asarray(ref_chain[-1]),
+        rtol=2e-4, atol=2e-5,
+    )
+    expected_rec = jnp.swapaxes(ref_chain[K - K_ft :], 0, 1)
+    np.testing.assert_allclose(
+        np.asarray(out.chains), np.asarray(expected_rec), rtol=2e-4, atol=2e-5
+    )
 
 
 def _eta_module(kind):
