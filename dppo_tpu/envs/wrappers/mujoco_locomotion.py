@@ -54,10 +54,12 @@ def resolve_env_spec(name: str):
 
         gymnasium.register_envs(gymnasium_robotics)
         variant = name.split("-")[1].lower() if "-" in name else "complete"
-        kwargs = {}
-        if variant in KITCHEN_TASKS:
-            kwargs["tasks_to_complete"] = KITCHEN_TASKS[variant]
-        return "FrankaKitchen-v1", kwargs
+        if variant not in KITCHEN_TASKS:
+            raise ValueError(
+                f"unknown kitchen variant {variant!r} in env name {name!r}; "
+                f"expected one of {sorted(KITCHEN_TASKS)}"
+            )
+        return "FrankaKitchen-v1", {"tasks_to_complete": KITCHEN_TASKS[variant]}
     return name, {}
 
 

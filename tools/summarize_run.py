@@ -19,10 +19,14 @@ def main():
         rows = pickle.load(f)
     train = [r for r in rows if "train_episode_reward" in r]
     evals = [r for r in rows if "eval_episode_reward" in r]
+    if not rows:
+        print("rows: 0 (run produced no logged iterations)")
+        return
     print(f"rows: {len(rows)} ({len(train)} train, {len(evals)} eval); "
           f"final env step count: {rows[-1]['step']:,}")
     rewards = [float(r["train_episode_reward"]) for r in train]
     if rewards:
+        n = max(2, min(n, len(rewards)))
         idx = [round(i * (len(rewards) - 1) / (n - 1)) for i in range(n)]
         decs = "  ".join(f"{rewards[i]:.1f}" for i in idx)
         print(f"train avg episode reward deciles:\n  {decs}")
