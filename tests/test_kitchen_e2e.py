@@ -46,6 +46,10 @@ def test_kitchen_task_mapping():
         tasks = kwargs["tasks_to_complete"]
         assert ("bottom burner" in tasks) == burner
         assert "microwave" in tasks and "kettle" in tasks
+    # unknown variants must raise, not silently fall back to default tasks
+    for bogus in ["kitchen-v0", "kitchen-bogus-v0"]:
+        with pytest.raises(ValueError, match="kitchen variant"):
+            resolve_env_spec(bogus)
 
 
 def test_kitchen_pretrain_finetune(kitchen_data, monkeypatch):

@@ -17,11 +17,11 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     with open(f"{logdir}/result.pkl", "rb") as f:
         rows = pickle.load(f)
-    train = [r for r in rows if "train_episode_reward" in r]
-    evals = [r for r in rows if "eval_episode_reward" in r]
     if not rows:
         print("rows: 0 (run produced no logged iterations)")
         return
+    train = [r for r in rows if "train_episode_reward" in r]
+    evals = [r for r in rows if "eval_episode_reward" in r]
     print(f"rows: {len(rows)} ({len(train)} train, {len(evals)} eval); "
           f"final env step count: {rows[-1]['step']:,}")
     rewards = [float(r["train_episode_reward"]) for r in train]
