@@ -95,6 +95,11 @@ def collect_gym_demos(
         )
 
     rng = np.random.default_rng(seed)
+    # explore the env's full action authority (e.g. Pendulum torque is ±2,
+    # the MuJoCo locomotion tasks are ±1); bounded spaces only
+    act_scale = np.where(
+        np.isfinite(env.action_space.high), env.action_space.high, 1.0
+    ).astype(np.float32)
     states, actions, lengths = [], [], []
     for ep in range(n_episodes):
         obs, _ = env.reset(seed=seed + ep)
@@ -107,8 +112,8 @@ def collect_gym_demos(
                 1,
             ).astype(np.float32)
             ep_s.append(flat(obs))
-            ep_a.append(a)
-            obs, r, term, trunc, _ = env.step(a)
+            ep_a.append(a * act_scale)
+            obs, r, term, trunc, _ = env.step(a * act_scale)
             prev_a = a
             if term or trunc:
                 break

@@ -155,6 +155,45 @@ def make_async(
             reset_within_step=bool(ms.get("reset_within_step", False)),
             nthread=n_workers,
         )
+    if backend == "device":
+        # TPU-resident batched envs: pure-JAX dynamics vmapped on the
+        # learner device, MultiStep semantics as a jittable pure function
+        # (the TPU-native generalization of the reference's GPU-batched
+        # IsaacGym branch). See dppo_tpu/envs/device/.
+        from dppo_tpu.config import to_container
+        from dppo_tpu.envs.device import DeviceVectorEnv, make_device_task
+
+        w = dict(to_container(wrappers or {}))
+        ms = dict(w.get("multi_step", {}))
+        if ms.get("reward_agg_method", "sum") != "sum":
+            raise NotImplementedError(
+                "device backend only supports reward_agg_method=sum"
+            )
+        if ms.get("pass_full_observations", False):
+            raise NotImplementedError(
+                "device backend does not support pass_full_observations"
+            )
+        task_kwargs = dict(
+            to_container(kwargs.pop("device_task_kwargs", {}) or {})
+        )
+        task_kwargs.setdefault(
+            "normalization_path",
+            dict(w.get("mujoco_locomotion_lowdim", {})).get(
+                "normalization_path"
+            ),
+        )
+        task_kwargs.setdefault("obs_dim", obs_dim)
+        task_kwargs.setdefault("action_dim", action_dim)
+        task_name = kwargs.pop("device_task", env_name)
+        task = make_device_task(task_name, **task_kwargs)
+        return DeviceVectorEnv(
+            task,
+            n_envs=num_envs,
+            n_obs_steps=int(ms.get("n_obs_steps", 1)),
+            n_action_steps=int(ms.get("n_action_steps", 1)),
+            max_episode_steps=ms.get("max_episode_steps", max_episode_steps),
+            reset_within_step=bool(ms.get("reset_within_step", False)),
+        )
     if env_type == "furniture":
         # GPU-batched IsaacGym branch (parity: env/gym_utils/__init__.py:73-108)
         try:

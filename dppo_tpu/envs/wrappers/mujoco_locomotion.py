@@ -20,6 +20,10 @@ D4RL_TO_GYMNASIUM = {
     "walker2d": "Walker2d-v4",
     "halfcheetah": "HalfCheetah-v4",
     "ant": "Ant-v4",
+    # classic-control task used by the TPU-resident env backend
+    # (envs/device/pendulum.py); host-side gymnasium twin for demo
+    # collection and parity tests
+    "pendulum": "Pendulum-v1",
 }
 
 
@@ -49,16 +53,16 @@ def resolve_env_spec(name: str):
         # d4rl's 60-dim (qp, obj_qp, goal) layout is a d4rl-ism that cannot
         # be reconstructed without d4rl itself — shipped kitchen configs use
         # obs_dim 59 accordingly.
-        import gymnasium
-        import gymnasium_robotics
-
-        gymnasium.register_envs(gymnasium_robotics)
         variant = name.split("-")[1].lower() if "-" in name else "complete"
         if variant not in KITCHEN_TASKS:
             raise ValueError(
                 f"unknown kitchen variant {variant!r} in env name {name!r}; "
                 f"expected one of {sorted(KITCHEN_TASKS)}"
             )
+        import gymnasium
+        import gymnasium_robotics
+
+        gymnasium.register_envs(gymnasium_robotics)
         return "FrankaKitchen-v1", {"tasks_to_complete": KITCHEN_TASKS[variant]}
     return name, {}
 
