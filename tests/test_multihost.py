@@ -93,3 +93,52 @@ def test_sharded_update_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_device_iteration_matches_single_device():
+    """The fully-fused device-env iteration (rollout scan + PPO update in
+    one program, TPU-resident env) sharded over an 8-device data mesh must
+    reproduce the single-device result: env dynamics and RNG draws are
+    deterministic by key+shape regardless of sharding, and every learner
+    reduction must be global."""
+    import __graft_entry__ as g
+    from dppo_tpu.agents.finetune_ppo_diffusion_device import (
+        TrainPPODiffusionDeviceAgent,
+    )
+
+    E = 16
+    agent = TrainPPODiffusionDeviceAgent(g._tiny_device_cfg(E))
+    pool0 = agent.venv.pool_state
+    key = jax.random.key(5)
+    itr = jnp.asarray(0, jnp.int32)
+
+    ref_state, _, ref_rew, ref_done, ref_diag = agent._jit_iteration(
+        agent.update_state, pool0, key, itr
+    )
+
+    mesh = make_mesh(8)
+    pool_sh = jax.tree_util.tree_map(
+        lambda x: shard_axis(mesh, x, 0), pool0
+    )
+    state_r = replicate(mesh, agent.update_state)
+    new_state, _, rew, done, diag = agent._jit_iteration(
+        state_r, pool_sh, key, itr
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(rew), np.asarray(ref_rew), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(done), np.asarray(ref_done))
+    for k in ("pg_loss", "v_loss", "approx_kl", "ratio"):
+        np.testing.assert_allclose(
+            float(diag[k]), float(ref_diag[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"diagnostic {k} diverged under sharding",
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.params.actor_ft),
+        jax.tree_util.tree_leaves(new_state.params.actor_ft),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )

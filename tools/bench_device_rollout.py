@@ -12,7 +12,11 @@ Usage: python tools/bench_device_rollout.py [n_envs ...] [--platform cpu]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
