@@ -279,6 +279,113 @@ def test_unknown_device_task():
         make_device_task("robomimic-can")
 
 
+def test_host_agent_drives_device_env(tmp_path):
+    """Unmodified host agents work on device envs through the adapter: a
+    Gaussian PPO fine-tune loop (per-macro-step dispatch) on the linear
+    device task."""
+    from dppo_tpu.config import Config
+
+    obs_dim, action_dim = 6, 2
+    cfg = Config(
+        {
+            "_target_": "dppo.agent.finetune.train_ppo_gaussian_agent.TrainPPOGaussianAgent",
+            "logdir": str(tmp_path / "log"),
+            "seed": 0,
+            "obs_dim": obs_dim,
+            "action_dim": action_dim,
+            "cond_steps": 1,
+            "horizon_steps": 2,
+            "act_steps": 2,
+            "wandb": None,
+            "env": Config(
+                {
+                    "n_envs": 4,
+                    "name": "linear",
+                    "backend": "device",
+                    "max_episode_steps": 8,
+                    "reset_at_iteration": False,
+                    "best_reward_threshold_for_success": 0.5,
+                    "wrappers": Config(
+                        {
+                            "multi_step": Config(
+                                {
+                                    "n_obs_steps": 1,
+                                    "n_action_steps": 2,
+                                    "max_episode_steps": 8,
+                                    "reset_within_step": True,
+                                }
+                            )
+                        }
+                    ),
+                }
+            ),
+            "train": Config(
+                {
+                    "n_train_itr": 2,
+                    "n_critic_warmup_itr": 0,
+                    "n_steps": 5,
+                    "gamma": 0.99,
+                    "actor_lr": 1e-4,
+                    "actor_weight_decay": 0,
+                    "actor_lr_scheduler": Config(
+                        {"first_cycle_steps": 10, "warmup_steps": 1,
+                         "min_lr": 1e-5}
+                    ),
+                    "critic_lr": 1e-3,
+                    "critic_weight_decay": 0,
+                    "critic_lr_scheduler": Config(
+                        {"first_cycle_steps": 10, "warmup_steps": 1,
+                         "min_lr": 1e-4}
+                    ),
+                    "save_model_freq": 10,
+                    "val_freq": 10,
+                    "render": Config({"freq": 1, "num": 0}),
+                    "reward_scale_running": True,
+                    "reward_scale_const": 1.0,
+                    "gae_lambda": 0.95,
+                    "batch_size": 16,
+                    "update_epochs": 2,
+                    "vf_coef": 0.5,
+                    "target_kl": 1.0,
+                }
+            ),
+            "model": Config(
+                {
+                    "_target_": "dppo.model.rl.gaussian_ppo.PPO_Gaussian",
+                    "clip_ploss_coef": 0.1,
+                    "randn_clip_value": 3,
+                    "network_path": None,
+                    "actor": Config(
+                        {
+                            "_target_": "dppo.model.common.mlp_gaussian.Gaussian_MLP",
+                            "mlp_dims": [32, 32],
+                            "fixed_std": 0.1,
+                            "cond_dim": obs_dim,
+                            "horizon_steps": 2,
+                            "action_dim": action_dim,
+                        }
+                    ),
+                    "critic": Config(
+                        {
+                            "_target_": "dppo.model.common.critic.CriticObs",
+                            "cond_dim": obs_dim,
+                            "mlp_dims": [32, 32],
+                        }
+                    ),
+                    "horizon_steps": 2,
+                }
+            ),
+        }
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    assert agent.itr == 2
+    import jax.tree_util as jtu
+
+    leaves = jtu.tree_leaves(agent.update_state.params.actor_ft)
+    assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves)
+
+
 # ------------------------------------------------------- fused DPPO agent
 @pytest.fixture(scope="module")
 def pendulum_assets(tmp_path_factory):
