@@ -96,6 +96,7 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
         self.K_ft = self.model.ft_denoising_steps
         # full-state resume (params, optimizers, reward scaler, rng, itr) —
         # strictly beyond the reference's weights-only restart (SURVEY §5.4)
+        self.ckpt_format = str(cfg.train.get("ckpt_format", "pickle"))
         resume_itr = cfg.train.get("resume_itr")
         if resume_itr is not None:
             self.resume_full_state(int(resume_itr))
@@ -142,7 +143,22 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
         return {"state": (self.n_cond_step, self.obs_dim)}
 
     # ---- exact resume: the complete training state in one checkpoint ----
+    # format per cfg.train.ckpt_format: "pickle" (single file, default) or
+    # "orbax" (directory checkpoint via orbax — SURVEY §5.4 TPU plan)
     def save_full_state(self):
+        if getattr(self, "ckpt_format", "pickle") == "orbax":
+            from dppo_tpu.utils.ckpt import save_train_state
+
+            save_train_state(
+                os.path.join(self.checkpoint_dir, "full_state"),
+                self.itr,
+                self.update_state,
+                aux={
+                    "itr": self.itr,
+                    "rng": jax.random.key_data(self.rng),
+                },
+            )
+            return
         from dppo_tpu.utils.ckpt import save_checkpoint
 
         path = os.path.join(self.checkpoint_dir, f"full_state_{self.itr}.pkl")
@@ -156,6 +172,19 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
         )
 
     def resume_full_state(self, itr: int):
+        if getattr(self, "ckpt_format", "pickle") == "orbax":
+            from dppo_tpu.utils.ckpt import load_train_state
+
+            state, aux = load_train_state(
+                os.path.join(self.checkpoint_dir, "full_state"),
+                itr,
+                self.update_state,
+            )
+            self.update_state = jax.tree_util.tree_map(jnp.asarray, state)
+            self.itr = int(aux["itr"]) + 1
+            self.rng = jax.random.wrap_key_data(jnp.asarray(aux["rng"]))
+            log.info("Resumed full train state (orbax, itr %d)", self.itr)
+            return
         from dppo_tpu.utils.ckpt import load_checkpoint
 
         path = os.path.join(self.checkpoint_dir, f"full_state_{itr}.pkl")

@@ -38,19 +38,36 @@ def load_checkpoint(path: str) -> dict:
 
 
 # ---- full train-state resume (orbax) ----
+#
+# The state is stored as an indexed leaf list plus auxiliary scalars, and
+# re-assembled against the live tree structure on restore. Storing leaves
+# (rather than the pytree itself) keeps restore independent of how orbax
+# round-trips container types (NamedTuples come back as dicts, whose
+# alphabetical leaf order need not match field order).
 
 
-def save_train_state(ckpt_dir: str, step: int, state: Any) -> None:
+def save_train_state(ckpt_dir: str, step: int, state: Any, aux: dict | None = None) -> None:
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
+    leaves = jax.tree_util.tree_leaves(state)
+    payload = {"leaves": {f"{i:05d}": np.asarray(l) for i, l in enumerate(leaves)}}
+    if aux:
+        payload["aux"] = _to_numpy(aux)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(os.path.join(ckpt_dir, f"step_{step}"), _to_numpy(state), force=True)
+    ckptr.save(os.path.join(ckpt_dir, f"step_{step}"), payload, force=True)
 
 
-def load_train_state(ckpt_dir: str, step: int, target: Any = None) -> Any:
+def load_train_state(ckpt_dir: str, step: int, target: Any):
+    """Restore into the structure of `target`; returns (state, aux)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.join(os.path.abspath(ckpt_dir), f"step_{step}"))
+    payload = ckptr.restore(
+        os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    )
+    leaves = [payload["leaves"][k] for k in sorted(payload["leaves"])]
+    treedef = jax.tree_util.tree_structure(target)
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return state, payload.get("aux", {})

@@ -149,6 +149,38 @@ def test_dppo_full_state_resume(tmp_path):
     assert agent2.itr == 3
 
 
+def test_dppo_full_state_resume_orbax(tmp_path):
+    """Same exact-resume contract via the orbax directory format
+    (train.ckpt_format=orbax, SURVEY §5.4 TPU plan)."""
+    from tests.test_finetune_dppo import _cfg
+    from dppo_tpu.config import get_class
+
+    cfg = _cfg(tmp_path, n_itr=2)
+    cfg.train.save_model_freq = 1
+    cfg.train.ckpt_format = "orbax"
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    assert os.path.isdir(
+        os.path.join(agent.checkpoint_dir, "full_state", "step_1")
+    )
+    cfg2 = _cfg(tmp_path, n_itr=3)
+    cfg2.train.save_model_freq = 1
+    cfg2.train.ckpt_format = "orbax"
+    cfg2.train.resume_itr = 1
+    agent2 = get_class(cfg2._target_)(cfg2)
+    assert agent2.itr == 2
+    import jax
+
+    # every leaf of the full train state must round-trip exactly
+    leaves1 = jax.tree_util.tree_leaves(agent.update_state)
+    leaves2 = jax.tree_util.tree_leaves(agent2.update_state)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    agent2.run()
+    assert agent2.itr == 3
+
+
 def test_filter_d3il_avoid_modes(tmp_path):
     """Mode filtering keeps only trajectories passing desired gaps."""
     from dppo_tpu.scripts.filter_d3il_avoid_data import check_mode, make_dataset
