@@ -460,6 +460,76 @@ def test_fused_device_dppo_e2e(pendulum_assets, monkeypatch):
     assert os.path.exists(f"{root}/ft/checkpoint/full_state_2.pkl")
 
 
+def test_fused_device_gaussian_e2e(pendulum_assets, monkeypatch):
+    """Shipped pendulum Gaussian cfgs: pretrain -> fused device finetune.
+    Exercises the shared DeviceFusedMixin loop with the Gaussian-family
+    record (action chunks instead of denoising chains)."""
+    root = pendulum_assets
+    monkeypatch.setenv("DPPO_DATA_DIR", root)
+    monkeypatch.setenv("DPPO_LOG_DIR", root)
+
+    cfg = load_config(
+        os.path.join(REPO, "cfg/gym/pretrain/pendulum-v1/pre_gaussian_mlp.yaml"),
+        overrides=[
+            "train.n_epochs=2",
+            "train.batch_size=32",
+            "train.save_model_freq=2",
+            "model.network.mlp_dims=[32, 32, 32]",
+            f"logdir={root}/pre_gauss",
+        ],
+    )
+    get_class(cfg._target_)(cfg).run()
+
+    cfg = load_config(
+        os.path.join(REPO, "cfg/gym/finetune/pendulum-v1/ft_ppo_gaussian_mlp.yaml"),
+        overrides=[
+            f"base_policy_path={root}/pre_gauss/checkpoint/state_2.pkl",
+            "env.n_envs=4",
+            "env.max_episode_steps=16",
+            "train.n_steps=6",
+            "train.n_train_itr=3",
+            "train.val_freq=3",
+            "train.batch_size=24",
+            "train.save_model_freq=10",
+            "model.actor.mlp_dims=[32, 32, 32]",
+            "model.critic.mlp_dims=[32, 32, 32]",
+            f"logdir={root}/ft_gauss",
+        ],
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+
+    import pickle
+
+    with open(f"{root}/ft_gauss/result.pkl", "rb") as f:
+        rows = pickle.load(f)
+    assert len(rows) == 3
+    train_rows = [r for r in rows if "train_episode_reward" in r]
+    assert train_rows and all(
+        np.isfinite(r["train_episode_reward"]) and r["train_episode_reward"] < 0
+        for r in train_rows
+    )
+    import jax.tree_util as jtu
+
+    leaves = jtu.tree_leaves(agent.update_state.params.actor_ft)
+    assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves)
+
+
+def test_fused_device_gaussian_rejects_host_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("DPPO_DATA_DIR", str(tmp_path))
+    monkeypatch.setenv("DPPO_LOG_DIR", str(tmp_path))
+    cfg = load_config(
+        os.path.join(REPO, "cfg/gym/finetune/pendulum-v1/ft_ppo_gaussian_mlp.yaml"),
+        overrides=[
+            "env.wrappers.multi_step.reset_within_step=false",
+            "env.n_envs=2",
+            f"logdir={tmp_path}/ft",
+        ],
+    )
+    with pytest.raises(ValueError, match="reset_within_step"):
+        get_class(cfg._target_)(cfg)
+
+
 def test_fused_device_agent_rejects_host_env(tmp_path, monkeypatch):
     monkeypatch.setenv("DPPO_DATA_DIR", str(tmp_path))
     monkeypatch.setenv("DPPO_LOG_DIR", str(tmp_path))
