@@ -180,7 +180,8 @@ def make_async(
             "normalization_path",
             dict(w.get("mujoco_locomotion_lowdim", {})).get(
                 "normalization_path"
-            ),
+            )
+            or dict(w.get("d3il_lowdim", {})).get("normalization_path"),
         )
         task_kwargs.setdefault("obs_dim", obs_dim)
         task_kwargs.setdefault("action_dim", action_dim)

@@ -10,9 +10,12 @@ semantics (`env/gym_utils/wrapper/multi_step.py:82`) implemented as a pure
 function so the entire rollout — sampler, env, buffers — fuses into a
 single XLA program on the TPU (see `agents/finetune_ppo_diffusion_device`).
 
-Three task backends:
+Task backends:
 - `pendulum` — an exact JAX port of gymnasium Pendulum-v1 dynamics
   (parity-tested step-for-step against the real env);
+- `avoid`/`avoiding` — D3IL-style obstacle avoidance on the reference's
+  pinned interface and geometry (see `avoid.py` for what is parity and
+  what is a documented analog);
 - `linear` — the deterministic analog of the dummy test env, used for
   golden tests of the on-device MultiStep semantics vs the host wrapper;
 - `mjx` — MuJoCo-MJX locomotion tasks (gated on mujoco-mjx being
@@ -24,6 +27,7 @@ Host agents that don't use the fused path can still drive these through
 """
 
 from dppo_tpu.envs.device.adapter import DeviceVectorEnv
+from dppo_tpu.envs.device.avoid import AvoidTask, collect_avoid_demos
 from dppo_tpu.envs.device.core import DevicePool, PoolState, StepOut
 from dppo_tpu.envs.device.linear import LinearTask
 from dppo_tpu.envs.device.pendulum import PendulumTask
@@ -31,6 +35,8 @@ from dppo_tpu.envs.device.pendulum import PendulumTask
 TASKS = {
     "pendulum": PendulumTask,
     "linear": LinearTask,
+    "avoid": AvoidTask,
+    "avoiding": AvoidTask,
 }
 
 
@@ -51,6 +57,7 @@ def make_device_task(name: str, **kwargs):
 
 
 __all__ = [
+    "AvoidTask",
     "DevicePool",
     "DeviceVectorEnv",
     "LinearTask",
@@ -58,5 +65,6 @@ __all__ = [
     "PoolState",
     "StepOut",
     "TASKS",
+    "collect_avoid_demos",
     "make_device_task",
 ]
