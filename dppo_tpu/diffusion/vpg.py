@@ -9,14 +9,14 @@ learnable DDIM-η (:67-73, applied at :205-213).
 
 TPU-first re-design (not a translation):
 
-* The sampler is ONE `lax.scan` over the K sampling steps. The reference
+* The sampler is a `lax.scan` over the K sampling steps. The reference
   dispatches base/ft per *sample* inside each step (`diffusion_vpg.py:150-163`)
-  — but during sampling the timestep is uniform across the batch, so dispatch
-  collapses to per-*step* parameter selection: `tree_select(i < K - K_ft,
-  base, ft)` on the weight trees, costing one elementwise select over ~1 MB
-  of weights instead of a second network forward. The reference always runs
-  the base actor on the full batch and overwrites ft rows — one wasted
-  forward per step; we never compute an unused forward.
+  — but during sampling the timestep is uniform across the batch and the
+  base/ft boundary is static, so the sampler runs as two back-to-back scans
+  each bound to ONE weight tree (base steps, then ft steps). The reference
+  always runs the base actor on the full batch and overwrites ft rows — one
+  wasted forward per step; we never compute an unused forward, and never
+  stream more than one weight tree per step from HBM.
 * Log-prob evaluation only ever touches fine-tuned steps (chains are recorded
   for the last K_ft+1 states only), so `get_logprobs*` runs a single actor —
   the reference again runs both and discards one (`:148-163`).
@@ -142,8 +142,7 @@ class VPGDiffusion(DiffusionModel):
         eta_value: (B, 1) or (B, Da) from an eta module, or None -> DDIM η=0
         path is NOT taken here; for DDPM η is identically 1.
         """
-        net = network_override if network_override is not None else self.network
-        noise = net.apply(actor_params, x, t, cond)
+        noise = self._net_apply(actor_params, x, t, cond, net=network_override)
         if self.predict_epsilon:
             if self.use_ddim:
                 alpha = extract(self.ddim.alphas, index, x.ndim)
@@ -234,45 +233,66 @@ class VPGDiffusion(DiffusionModel):
         x0 = jax.random.normal(xr, (B, self.horizon_steps, self.action_dim))
 
         sample_actor = params.actor if use_base_policy else params.actor_ft
+        # bf16 sampling option: cast each tree once, outside the scans
+        base_actor = self.cast_sampling_params(params.actor)
+        sample_actor = self.cast_sampling_params(sample_actor)
 
-        def step(carry, it):
-            x, rng = carry
-            i, t = it
-            use_base = i < base_steps
-            actor_params = tree_select(use_base, params.actor, sample_actor)
-            t_b = jnp.full((B,), t, dtype=jnp.int32)
-            index_b = jnp.full((B,), i, dtype=jnp.int32)
-            mean, logvar, _ = self.p_mean_var_ft(
-                actor_params, x, t_b, cond, index=index_b, eta_value=eta_value
-            )
-            std = jnp.exp(0.5 * logvar)
-            if self.use_ddim:
-                std = (
-                    jnp.zeros_like(std)
-                    if deterministic
-                    else jnp.clip(std, min_std, None)
+        def make_step(actor_params):
+            # the base/ft boundary is static (`base_steps`), so the sampler
+            # runs as two back-to-back scans each bound to ONE weight tree —
+            # a per-step `tree_select` would make XLA stream BOTH trees from
+            # HBM on every denoise step (the select can't be hoisted out of
+            # the scan). Same math, same rng stream, half the weight traffic.
+            def step(carry, it):
+                x, rng = carry
+                i, t = it
+                t_b = jnp.full((B,), t, dtype=jnp.int32)
+                index_b = jnp.full((B,), i, dtype=jnp.int32)
+                mean, logvar, _ = self.p_mean_var_ft(
+                    actor_params, x, t_b, cond, index=index_b,
+                    eta_value=eta_value,
                 )
-            else:
-                if deterministic:
-                    std = jnp.where(t == 0, 0.0, jnp.clip(std, 1e-3, None))
+                std = jnp.exp(0.5 * logvar)
+                if self.use_ddim:
+                    std = (
+                        jnp.zeros_like(std)
+                        if deterministic
+                        else jnp.clip(std, min_std, None)
+                    )
                 else:
-                    std = jnp.clip(std, min_std, None)
-            rng, nr = jax.random.split(rng)
-            noise = _randn_clipped(nr, x.shape, self.randn_clip_value)
-            x = mean + std * noise
-            if self.final_action_clip_value is not None:
-                x = jnp.where(
-                    i == K - 1,
-                    jnp.clip(
+                    if deterministic:
+                        std = jnp.where(t == 0, 0.0, jnp.clip(std, 1e-3, None))
+                    else:
+                        std = jnp.clip(std, min_std, None)
+                rng, nr = jax.random.split(rng)
+                noise = _randn_clipped(nr, x.shape, self.randn_clip_value)
+                x = mean + std * noise
+                if self.final_action_clip_value is not None:
+                    x = jnp.where(
+                        i == K - 1,
+                        jnp.clip(
+                            x,
+                            -self.final_action_clip_value,
+                            self.final_action_clip_value,
+                        ),
                         x,
-                        -self.final_action_clip_value,
-                        self.final_action_clip_value,
-                    ),
-                    x,
-                )
-            return (x, rng), x
+                    )
+                return (x, rng), x
 
-        (x_final, _), xs = jax.lax.scan(step, (x0, rng), (index_all, t_all))
+            return step
+
+        carry, xs_base = jax.lax.scan(
+            make_step(base_actor),
+            (x0, rng),
+            (index_all[:base_steps], t_all[:base_steps]),
+        )
+        carry, xs_ft = jax.lax.scan(
+            make_step(sample_actor),
+            carry,
+            (index_all[base_steps:], t_all[base_steps:]),
+        )
+        (x_final, _) = carry
+        xs = jnp.concatenate([xs_base, xs_ft], axis=0)
         chain = None
         if return_chain:
             # states after each step, prepended with the initial noise; the

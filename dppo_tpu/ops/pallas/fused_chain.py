@@ -466,6 +466,10 @@ class FusedChainSampler:
     """
 
     def __init__(self, model):
+        assert getattr(model, "sample_network_dtype", None) is None, (
+            "fused chain kernel computes in fp32; disable "
+            "sample_network_dtype=bfloat16 or the fused sampler"
+        )
         self.per_sample_eta = False
         if model.use_ddim:
             # the DDIM update with ε-recompute-after-clip is algebraically

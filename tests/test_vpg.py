@@ -212,3 +212,40 @@ def test_identical_policies_give_unit_ratio():
     assert abs(float(ratio) - 1.0) < 1e-5
     assert abs(float(approx_kl)) < 1e-8
     assert float(clipfrac) == 0.0
+
+
+# ---------------------------------------------------- bf16 sampling option
+def test_bf16_sampling_close_to_fp32():
+    """sample_network_dtype=bfloat16 runs the denoiser in bf16 during
+    sampling only: same rng stream, trajectories/chains close to the fp32
+    path, log-prob evaluation still exact fp32."""
+    m32 = _make()
+    m16 = _make(sample_network_dtype="bfloat16")
+    cond = _cond()
+    params = m32.init_vpg_params(jax.random.key(0), cond)
+    s32 = m32.sample(params, cond, jax.random.key(7), deterministic=False)
+    s16 = m16.sample(params, cond, jax.random.key(7), deterministic=False)
+    assert np.isfinite(np.asarray(s16.trajectories)).all()
+    assert np.asarray(s16.trajectories).dtype == np.float32
+    np.testing.assert_allclose(
+        np.asarray(s16.trajectories), np.asarray(s32.trajectories), atol=0.15
+    )
+    np.testing.assert_allclose(
+        np.asarray(s16.chains), np.asarray(s32.chains), atol=0.15
+    )
+    # non-sampling math is untouched: identical fp32 logprobs of a chain
+    lp32 = m32.get_logprobs(params, cond, s32.chains)
+    lp16 = m16.get_logprobs(params, cond, s32.chains)
+    np.testing.assert_array_equal(np.asarray(lp32), np.asarray(lp16))
+
+
+def test_bf16_rejects_bad_dtype_and_fused():
+    import pytest
+
+    with pytest.raises(ValueError, match="sample_network_dtype"):
+        _make(sample_network_dtype="float16")
+    from dppo_tpu.ops.pallas.fused_chain import FusedChainSampler
+
+    m16 = _make(sample_network_dtype="bfloat16")
+    with pytest.raises(AssertionError, match="fp32"):
+        FusedChainSampler(m16)
