@@ -1,0 +1,272 @@
+"""SAC from scratch with a TPU-resident env: fused iteration BLOCKS.
+
+The reference's SAC loop (`agent/finetune/train_sac_agent.py:70`, our
+`finetune_sac.py`) advances ONE env step per iteration and runs critic/actor
+updates at replay-ratio-derived frequencies — at its published operating
+point (`cfg/gym/scratch/halfcheetah-v2/sac_mlp.yaml`: n_envs 1, n_steps 1,
+1M iterations) that is millions of host↔device round trips. With
+`env.backend=device` the env, the replay ring buffer (`utils/replay.py`,
+device-resident), and the update math already live on the chip, so this
+agent fuses a BLOCK of iterations — each being (sample action | uniform
+explore) → env step → replay insert → conditionally critic update (every
+`critic_update_freq` iters) → conditionally actor+temperature update (every
+`actor_update_freq` iters) — into ONE `lax.scan` under ONE XLA dispatch.
+
+Semantics per iteration match the host loop: same explore phase (uniform
+actions for the first `n_explore_steps` iters, no updates), same update
+frequencies via in-scan `lax.cond`, same truncation bootstrap (final_obs
+feeds next_obs where truncated), same reward scaling. Blocks are cut at
+every semantic boundary (explore end, val/log/save multiples, n_train_itr),
+so no block ever straddles a phase change. Eval runs as a separate fused
+deterministic rollout over `ceil(max_episode_steps / act_steps)` chunks —
+one episode per device env (the host loop instead steps until
+`n_eval_episode` episodes finish; with n_envs >= n_eval_episode this
+evaluates at least as many).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dppo_tpu.agents.device_fused import DeviceFusedMixin
+from dppo_tpu.agents.finetune_sac import TrainSACAgent
+from dppo_tpu.envs.device.adapter import DeviceVectorEnv
+from dppo_tpu.utils.replay import replay_insert
+from dppo_tpu.utils.timer import Timer
+
+log = logging.getLogger(__name__)
+
+
+class TrainSACDeviceAgent(TrainSACAgent):
+    def __init__(self, cfg):
+        DeviceFusedMixin._validate_device_cfg(cfg)
+        ms = (cfg.env.get("wrappers") or {}).get("multi_step") or {}
+        if not (ms.get("max_episode_steps") or cfg.env.get("max_episode_steps")):
+            raise ValueError(
+                "the fused device SAC agent needs a finite "
+                "max_episode_steps (eval runs one episode per device env)"
+            )
+        super().__init__(cfg)
+        assert isinstance(self.venv, DeviceVectorEnv)
+        self.pool = self.venv.pool
+        self.block_iters = int(cfg.train.get("block_iters", 512))
+        self._jit_block_cache = {}
+        self._jit_eval = jax.jit(self._eval_rollout, static_argnames=("chunks",))
+
+    # ------------------------------------------------------------- fused
+    def _train_block(self, state, replay, pool_state, rng, itr0, block,
+                     explore):
+        """`block` fused iterations. explore/block are trace-static."""
+        model = self.model
+        E = self.n_envs
+
+        def iteration(carry, i):
+            state, replay, pool_state, rng = carry
+            itr = itr0 + i
+            rng, r_act, r_c, r_a = jax.random.split(rng, 4)
+            obs = {"state": pool_state.hist}
+            if explore:
+                actions = jax.random.uniform(
+                    r_act,
+                    (E, self.act_steps, self.action_dim),
+                    minval=-1.0,
+                    maxval=1.0,
+                )
+            else:
+                actions = model.sample(
+                    state.params, obs, r_act, deterministic=False
+                )[:, : self.act_steps]
+            pool_state, out = self.pool.step_chunk(pool_state, actions)
+            # truncation bootstrap: the pre-reset obs is the true next state
+            next_state = jnp.where(
+                out.truncated[:, None, None], out.final_obs, out.obs
+            )
+            replay = replay_insert(
+                replay,
+                {
+                    "obs": obs["state"],
+                    "next_obs": next_state,
+                    "actions": actions,
+                    "rewards": out.reward * self.scale_reward_factor,
+                    "terminated": out.terminated.astype(jnp.float32),
+                },
+            )
+
+            if explore:
+                loss_c = jnp.float32(0.0)
+                loss_a = jnp.float32(0.0)
+                did_c = jnp.float32(0.0)
+                did_a = jnp.float32(0.0)
+            else:
+                # host-loop parity: updates start strictly AFTER the
+                # explore phase (finetune_sac.py _should_update)
+                do_c = ((itr % self.critic_update_freq) == 0) & (
+                    itr > self.n_explore_steps
+                )
+                state, loss_c = jax.lax.cond(
+                    do_c,
+                    lambda s: self._critic_update(s, replay, r_c),
+                    lambda s: (s, jnp.float32(0.0)),
+                    state,
+                )
+                do_a = do_c & ((itr % self.actor_update_freq) == 0)
+                state, loss_a = jax.lax.cond(
+                    do_a,
+                    lambda s: self._actor_update(s, replay, r_a),
+                    lambda s: (s, jnp.float32(0.0)),
+                    state,
+                )
+                did_c = do_c.astype(jnp.float32)
+                did_a = do_a.astype(jnp.float32)
+
+            done = out.terminated | out.truncated
+            ys = (
+                out.reward,
+                done.astype(jnp.float32),
+                loss_c,
+                loss_a,
+                did_c,
+                did_a,
+            )
+            return (state, replay, pool_state, rng), ys
+
+        (state, replay, pool_state, _), ys = jax.lax.scan(
+            iteration,
+            (state, replay, pool_state, rng),
+            jnp.arange(block, dtype=jnp.int32),
+        )
+        rewards, dones, loss_c, loss_a, did_c, did_a = ys
+        n_c = jnp.maximum(did_c.sum(), 1.0)
+        n_a = jnp.maximum(did_a.sum(), 1.0)
+        diag = {
+            "loss_critic": (loss_c * did_c).sum() / n_c,
+            "loss_actor": (loss_a * did_a).sum() / n_a,
+            "num_critic_updates": did_c.sum(),
+            "num_actor_updates": did_a.sum(),
+            "alpha": jnp.exp(state.params.log_alpha),
+        }
+        return state, replay, pool_state, rewards, dones, diag
+
+    def _jit_block(self, block: int, explore: bool):
+        key = (block, explore)
+        if key not in self._jit_block_cache:
+            self._jit_block_cache[key] = jax.jit(
+                lambda s, rp, ps, r, i0: self._train_block(
+                    s, rp, ps, r, i0, block, explore
+                )
+            )
+        return self._jit_block_cache[key]
+
+    def _eval_rollout(self, params, pool_state, rng, chunks: int):
+        model = self.model
+
+        def chunk(carry, step_rng):
+            pool_state = carry
+            actions = model.sample(
+                params,
+                {"state": pool_state.hist},
+                step_rng,
+                deterministic=True,
+            )[:, : self.act_steps]
+            pool_state, out = self.pool.step_chunk(pool_state, actions)
+            done = out.terminated | out.truncated
+            return pool_state, (out.reward, done.astype(jnp.float32))
+
+        pool_state, (rewards, dones) = jax.lax.scan(
+            chunk, pool_state, jax.random.split(rng, chunks)
+        )
+        return pool_state, rewards, dones
+
+    # -------------------------------------------------------------- run
+    def _next_boundary(self) -> int:
+        itr = self.itr
+        cands = [self.n_train_itr]
+        if itr < self.n_explore_steps:
+            cands.append(self.n_explore_steps)
+        for freq in (self.val_freq, self.log_freq, self.save_model_freq):
+            if freq and freq > 0:
+                cands.append((itr // freq + 1) * freq)
+        return min(c for c in cands if c > itr)
+
+    def run(self):
+        timer = Timer()
+        cnt_train_step = 0
+        self.venv.reset_arg()
+        pool_state = self.venv.pool_state
+        first0 = np.ones(self.n_envs)
+        eval_chunks = max(
+            1, -(-int(self.venv.pool.max_episode_steps) // self.act_steps)
+        )
+        while self.itr < self.n_train_itr:
+            eval_mode = (
+                self.itr % self.val_freq == 0
+                and self.itr > self.n_explore_steps
+                and not self.force_train
+            )
+            if eval_mode:
+                # fresh episodes for eval, fresh again for the next block
+                self.venv.reset_arg()
+                _, rewards, dones = jax.block_until_ready(
+                    self._jit_eval(
+                        self.state.params,
+                        self.venv.pool_state,
+                        self.next_rng(),
+                        chunks=eval_chunks,
+                    )
+                )
+                rewards = np.asarray(rewards)
+                firsts = np.zeros((rewards.shape[0] + 1, self.n_envs))
+                firsts[0] = 1
+                firsts[1:] = np.asarray(dones)
+                stats = self._episode_stats(firsts, rewards)
+                self._log_iteration(True, stats, {}, cnt_train_step, timer)
+                self.venv.reset_arg()
+                pool_state = self.venv.pool_state
+                first0 = np.ones(self.n_envs)
+                self.itr += 1
+                continue
+
+            explore = self.itr < self.n_explore_steps
+            block = min(self.block_iters, self._next_boundary() - self.itr)
+            t0 = Timer()
+            (
+                self.state,
+                self.replay,
+                pool_state,
+                rewards,
+                dones,
+                diag,
+            ) = jax.block_until_ready(
+                self._jit_block(block, explore)(
+                    self.state,
+                    self.replay,
+                    pool_state,
+                    self.next_rng(),
+                    jnp.asarray(self.itr, jnp.int32),
+                )
+            )
+            wall = t0()
+            rewards = np.asarray(rewards)
+            dones = np.asarray(dones)
+            firsts = np.concatenate([first0[None], dones], axis=0)
+            first0 = dones[-1]
+            stats = self._episode_stats(firsts, rewards)
+            cnt_train_step += block * self.n_envs * self.act_steps
+            self.itr += block
+
+            diag = {k: float(v) for k, v in diag.items()}
+            diag["env_steps_per_s"] = (
+                block * self.n_envs * self.act_steps / max(wall, 1e-9)
+            )
+            diag["block_iters"] = float(block)
+            if (
+                self.itr % self.save_model_freq == 0
+                or self.itr >= self.n_train_itr
+            ):
+                self.save_model(self.state.params)
+            if self.itr > self.n_explore_steps:
+                self._log_iteration(False, stats, diag, cnt_train_step, timer)

@@ -530,6 +530,69 @@ def test_fused_device_gaussian_rejects_host_env(tmp_path, monkeypatch):
         get_class(cfg._target_)(cfg)
 
 
+def test_fused_device_sac_e2e(pendulum_assets, monkeypatch):
+    """Shipped pendulum SAC device cfg: blocks of (env step + conditional
+    critic/actor updates) fused into single dispatches, cut at the explore/
+    val/log/save boundaries. Covers the explore->train transition, eval
+    mode, and variable block sizes."""
+    root = pendulum_assets
+    monkeypatch.setenv("DPPO_DATA_DIR", root)
+    monkeypatch.setenv("DPPO_LOG_DIR", root)
+
+    cfg = load_config(
+        os.path.join(REPO, "cfg/gym/scratch/pendulum-v1/sac_mlp.yaml"),
+        overrides=[
+            "env.n_envs=4",
+            "env.max_episode_steps=16",
+            "train.n_train_itr=30",
+            "train.n_explore_steps=5",
+            "train.block_iters=10",
+            "train.val_freq=20",
+            "train.log_freq=10",
+            "train.save_model_freq=30",
+            "train.batch_size=32",
+            "train.buffer_size=512",
+            "model.actor.mlp_dims=[32, 32]",
+            "model.critic.mlp_dims=[32, 32]",
+            f"logdir={root}/sac_dev",
+        ],
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    assert agent.itr >= 30
+    import pickle
+
+    with open(f"{root}/sac_dev/result.pkl", "rb") as f:
+        rows = pickle.load(f)
+    evals = [r for r in rows if "eval_episode_reward" in r]
+    trains = [r for r in rows if "train_episode_reward" in r]
+    # replay saw one insert of n_envs rows per train iteration; eval
+    # iterations consume an iteration index but insert nothing (host parity)
+    assert int(agent.replay.size) == (agent.itr - len(evals)) * 4
+    assert evals and trains
+    assert all(np.isfinite(r["train_episode_reward"]) for r in trains)
+    import jax.tree_util as jtu
+
+    assert all(
+        bool(np.isfinite(np.asarray(l)).all())
+        for l in jtu.tree_leaves(agent.state.params)
+    )
+
+
+def test_fused_device_sac_rejects_host_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("DPPO_DATA_DIR", str(tmp_path))
+    monkeypatch.setenv("DPPO_LOG_DIR", str(tmp_path))
+    cfg = load_config(
+        os.path.join(REPO, "cfg/gym/scratch/pendulum-v1/sac_mlp.yaml"),
+        overrides=[
+            "env.backend=process",
+            f"logdir={tmp_path}/sac",
+        ],
+    )
+    with pytest.raises(ValueError, match="backend=device"):
+        get_class(cfg._target_)(cfg)
+
+
 def test_fused_device_agent_rejects_host_env(tmp_path, monkeypatch):
     monkeypatch.setenv("DPPO_DATA_DIR", str(tmp_path))
     monkeypatch.setenv("DPPO_LOG_DIR", str(tmp_path))
