@@ -142,3 +142,130 @@ def test_sharded_fused_device_iteration_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_gaussian_iteration_matches_single_device():
+    """The Gaussian-family fused device iteration under the shared mixin:
+    sharded over an 8-device data mesh == single-device."""
+    import os
+
+    from dppo_tpu.config import get_class, load_config
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(REPO, "cfg/gym/finetune/pendulum-v1/ft_ppo_gaussian_mlp.yaml"),
+        overrides=[
+            "normalization_path=null",
+            "base_policy_path=null",
+            "model.network_path=null",
+            "env.n_envs=16",
+            "env.max_episode_steps=16",
+            "train.n_steps=5",
+            "train.batch_size=40",
+            "model.actor.mlp_dims=[32, 32, 32]",
+            "model.critic.mlp_dims=[32, 32, 32]",
+            "logdir=/tmp/mh_gauss",
+            "wandb=null",
+        ],
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.venv.reset_arg()
+    pool0 = agent.venv.pool_state
+    key = jax.random.key(5)
+    itr = jnp.asarray(0, jnp.int32)
+
+    ref_state, _, ref_rew, ref_done, ref_diag = agent._jit_iteration(
+        agent.update_state, pool0, key, itr
+    )
+
+    mesh = make_mesh(8)
+    pool_sh = jax.tree_util.tree_map(lambda x: shard_axis(mesh, x, 0), pool0)
+    state_r = replicate(mesh, agent.update_state)
+    new_state, _, rew, done, diag = agent._jit_iteration(
+        state_r, pool_sh, key, itr
+    )
+    np.testing.assert_allclose(
+        np.asarray(rew), np.asarray(ref_rew), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(done), np.asarray(ref_done))
+    for k in ("pg_loss", "v_loss", "approx_kl"):
+        np.testing.assert_allclose(
+            float(diag[k]), float(ref_diag[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"diagnostic {k} diverged under sharding",
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.params.actor_ft),
+        jax.tree_util.tree_leaves(new_state.params.actor_ft),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_sac_block_matches_single_device():
+    """The fused SAC block (env steps + replay inserts + conditional TD
+    updates in one program): env axis sharded, learner+replay replicated.
+    Exercises that the replay gather and every update reduction is global."""
+    import os
+
+    from dppo_tpu.config import get_class, load_config
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(REPO, "cfg/gym/scratch/pendulum-v1/sac_mlp.yaml"),
+        overrides=[
+            "normalization_path=null",
+            "env.n_envs=16",
+            "env.max_episode_steps=16",
+            "train.n_explore_steps=2",
+            "train.batch_size=32",
+            "train.buffer_size=256",
+            "model.actor.mlp_dims=[32, 32]",
+            "model.critic.mlp_dims=[32, 32]",
+            "logdir=/tmp/mh_sac",
+            "wandb=null",
+        ],
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.venv.reset_arg()
+    pool0 = agent.venv.pool_state
+    key1, key2 = jax.random.key(3), jax.random.key(4)
+
+    # fill then update, single-device reference
+    fill = agent._jit_block(4, True)
+    train = agent._jit_block(4, False)
+    st, rp, ps, _, _, _ = fill(
+        agent.state, agent.replay, pool0, key1, jnp.asarray(0, jnp.int32)
+    )
+    ref_st, ref_rp, _, ref_rew, _, ref_diag = train(
+        st, rp, ps, key2, jnp.asarray(3, jnp.int32)
+    )
+
+    mesh = make_mesh(8)
+    pool_sh = jax.tree_util.tree_map(lambda x: shard_axis(mesh, x, 0), pool0)
+    st_r = replicate(mesh, agent.state)
+    rp_r = replicate(mesh, agent.replay)
+    st, rp, ps, _, _, _ = fill(
+        st_r, rp_r, pool_sh, key1, jnp.asarray(0, jnp.int32)
+    )
+    new_st, new_rp, _, rew, _, diag = train(
+        st, rp, ps, key2, jnp.asarray(3, jnp.int32)
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(rew), np.asarray(ref_rew), rtol=1e-5, atol=1e-5
+    )
+    assert int(new_rp.size) == int(ref_rp.size)
+    np.testing.assert_allclose(
+        float(diag["loss_critic"]), float(ref_diag["loss_critic"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_st.params),
+        jax.tree_util.tree_leaves(new_st.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
