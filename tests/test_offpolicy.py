@@ -156,3 +156,104 @@ def test_offpolicy_agent_end_to_end(tmp_path, name):
     assert agent.itr == 2
     leaves = jax.tree_util.tree_leaves(agent.state.params)
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+# --------------------------------------------- fused device-env variants
+_DEVICE_TARGETS = {
+    "dql": "dppo_tpu.agents.finetune_offpolicy_device.TrainDQLDiffusionDeviceAgent",
+    "dipo": "dppo_tpu.agents.finetune_offpolicy_device.TrainDIPODiffusionDeviceAgent",
+    "idql": "dppo_tpu.agents.finetune_offpolicy_device.TrainIDQLDiffusionDeviceAgent",
+    "qsm": "dppo_tpu.agents.finetune_offpolicy_device.TrainQSMDiffusionDeviceAgent",
+}
+
+
+def _device_env_cfg(n_envs=4):
+    return Config(
+        {
+            "n_envs": n_envs,
+            "name": "linear",
+            "backend": "device",
+            "max_episode_steps": 8,
+            "reset_at_iteration": False,
+            "best_reward_threshold_for_success": 0.5,
+            "wrappers": Config(
+                {
+                    "multi_step": Config(
+                        {
+                            "n_obs_steps": 1,
+                            "n_action_steps": 2,
+                            "max_episode_steps": 8,
+                            "reset_within_step": True,
+                        }
+                    )
+                }
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize("name", list(_CASES))
+def test_offpolicy_device_agent_fused(tmp_path, name):
+    """Each off-policy diffusion family runs fully fused on the device env:
+    rollout + replay inserts + its own `_update` in one XLA program per
+    iteration (itr 0 is an eval rollout: no inserts, no update)."""
+    _, model_target, train_extra, model_nets = _CASES[name]
+    cfg = Config(
+        {
+            "_target_": _DEVICE_TARGETS[name],
+            "logdir": str(tmp_path / "log"),
+            "seed": 0,
+            "obs_dim": OBS,
+            "action_dim": ACT,
+            "cond_steps": 1,
+            "horizon_steps": 2,
+            "act_steps": 2,
+            "wandb": None,
+            "env": _device_env_cfg(),
+            "train": _base_train(train_extra),
+            "model": Config(
+                {
+                    "_target_": model_target,
+                    "denoised_clip_value": 1.0,
+                    "randn_clip_value": 3,
+                    "min_sampling_denoising_std": 0.1,
+                    "network_path": None,
+                    "horizon_steps": 2,
+                    "obs_dim": OBS,
+                    "action_dim": ACT,
+                    "denoising_steps": 6,
+                    **model_nets,
+                }
+            ),
+        }
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    assert agent.itr == 2
+    # itr 0 eval inserted nothing; itr 1 inserted n_steps * n_envs rows
+    assert int(agent.replay.size) == 5 * 4
+    leaves = jax.tree_util.tree_leaves(agent.state.params)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+def test_offpolicy_device_agent_rejects_host_env(tmp_path):
+    _, model_target, train_extra, model_nets = _CASES["dql"]
+    env = _env_cfg()
+    cfg = Config(
+        {
+            "_target_": _DEVICE_TARGETS["dql"],
+            "logdir": str(tmp_path / "log"),
+            "seed": 0,
+            "obs_dim": OBS,
+            "action_dim": ACT,
+            "cond_steps": 1,
+            "horizon_steps": 2,
+            "act_steps": 2,
+            "wandb": None,
+            "env": env,
+            "train": _base_train(train_extra),
+            "model": Config({"_target_": model_target}),
+        }
+    )
+    with pytest.raises(ValueError, match="backend=device"):
+        get_class(cfg._target_)(cfg)
