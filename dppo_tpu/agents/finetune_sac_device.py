@@ -33,6 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from dppo_tpu.agents.device_fused import DeviceFusedMixin
+from dppo_tpu.agents.finetune_ibrl import TrainIBRLAgent
+from dppo_tpu.agents.finetune_rlpd import TrainRLPDAgent
 from dppo_tpu.agents.finetune_sac import TrainSACAgent
 from dppo_tpu.envs.device.adapter import DeviceVectorEnv
 from dppo_tpu.utils.replay import replay_insert
@@ -58,6 +60,36 @@ class TrainSACDeviceAgent(TrainSACAgent):
         self._jit_eval = jax.jit(self._eval_rollout, static_argnames=("chunks",))
 
     # ------------------------------------------------------------- fused
+    def _scan_updates(self, state, replay, itr, r_c, r_a):
+        """Per-iteration update step inside the fused block. SAC default:
+        critic every critic_update_freq iters, actor+temperature every
+        actor_update_freq, both strictly AFTER the explore phase
+        (host-loop parity: finetune_sac.py _should_update). RLPD/IBRL
+        device subclasses override with their combined updates."""
+        do_c = ((itr % self.critic_update_freq) == 0) & (
+            itr > self.n_explore_steps
+        )
+        state, loss_c = jax.lax.cond(
+            do_c,
+            lambda s: self._critic_update(s, replay, r_c),
+            lambda s: (s, jnp.float32(0.0)),
+            state,
+        )
+        do_a = do_c & ((itr % self.actor_update_freq) == 0)
+        state, loss_a = jax.lax.cond(
+            do_a,
+            lambda s: self._actor_update(s, replay, r_a),
+            lambda s: (s, jnp.float32(0.0)),
+            state,
+        )
+        return (
+            state,
+            loss_c,
+            loss_a,
+            do_c.astype(jnp.float32),
+            do_a.astype(jnp.float32),
+        )
+
     def _train_block(self, state, replay, pool_state, rng, itr0, block,
                      explore):
         """`block` fused iterations. explore/block are trace-static."""
@@ -102,26 +134,9 @@ class TrainSACDeviceAgent(TrainSACAgent):
                 did_c = jnp.float32(0.0)
                 did_a = jnp.float32(0.0)
             else:
-                # host-loop parity: updates start strictly AFTER the
-                # explore phase (finetune_sac.py _should_update)
-                do_c = ((itr % self.critic_update_freq) == 0) & (
-                    itr > self.n_explore_steps
+                state, loss_c, loss_a, did_c, did_a = self._scan_updates(
+                    state, replay, itr, r_c, r_a
                 )
-                state, loss_c = jax.lax.cond(
-                    do_c,
-                    lambda s: self._critic_update(s, replay, r_c),
-                    lambda s: (s, jnp.float32(0.0)),
-                    state,
-                )
-                do_a = do_c & ((itr % self.actor_update_freq) == 0)
-                state, loss_a = jax.lax.cond(
-                    do_a,
-                    lambda s: self._actor_update(s, replay, r_a),
-                    lambda s: (s, jnp.float32(0.0)),
-                    state,
-                )
-                did_c = do_c.astype(jnp.float32)
-                did_a = do_a.astype(jnp.float32)
 
             done = out.terminated | out.truncated
             ys = (
@@ -147,7 +162,8 @@ class TrainSACDeviceAgent(TrainSACAgent):
             "loss_actor": (loss_a * did_a).sum() / n_a,
             "num_critic_updates": did_c.sum(),
             "num_actor_updates": did_a.sum(),
-            "alpha": jnp.exp(state.params.log_alpha),
+            # IBRL params carry no temperature
+            "alpha": jnp.exp(getattr(state.params, "log_alpha", jnp.zeros(()))),
         }
         return state, replay, pool_state, rewards, dones, diag
 
@@ -270,3 +286,44 @@ class TrainSACDeviceAgent(TrainSACAgent):
                 self.save_model(self.state.params)
             if self.itr > self.n_explore_steps:
                 self._log_iteration(False, stats, diag, cnt_train_step, timer)
+
+
+class TrainRLPDDeviceAgent(TrainSACDeviceAgent, TrainRLPDAgent):
+    """RLPD on the fused device block: the combined
+    (critic_num_update ensemble TD steps + actor + temperature) update with
+    50/50 offline/online batches (`_rlpd_update`) runs every non-explore
+    iteration inside the scan (host parity: finetune_rlpd.py
+    _should_update)."""
+
+    def _scan_updates(self, state, replay, itr, r_c, r_a):
+        do = itr > self.n_explore_steps
+
+        def upd(s):
+            return self._rlpd_update(s, replay, r_c)
+
+        def skip(s):
+            return s, jnp.float32(0.0), jnp.float32(0.0)
+
+        state, loss_c, loss_a = jax.lax.cond(do, upd, skip, state)
+        d = do.astype(jnp.float32)
+        return state, loss_c, loss_a, d, d
+
+
+class TrainIBRLDeviceAgent(TrainSACDeviceAgent, TrainIBRLAgent):
+    """IBRL on the fused device block: the combined
+    (critic_num_update ensemble TD steps + actor) update (`_ibrl_update`)
+    runs every `update_freq` non-explore iterations inside the scan
+    (host parity: finetune_ibrl.py _should_update)."""
+
+    def _scan_updates(self, state, replay, itr, r_c, r_a):
+        do = (itr > self.n_explore_steps) & ((itr % self.update_freq) == 0)
+
+        def upd(s):
+            return self._ibrl_update(s, replay, r_c)
+
+        def skip(s):
+            return s, jnp.float32(0.0), jnp.float32(0.0)
+
+        state, loss_c, loss_a = jax.lax.cond(do, upd, skip, state)
+        d = do.astype(jnp.float32)
+        return state, loss_c, loss_a, d, d

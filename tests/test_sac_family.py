@@ -203,3 +203,85 @@ def test_ibrl_agent(tmp_path):
         _sac_train({"critic_num_update": 2, "update_freq": 2}),
     )
     _run(cfg)
+
+
+# --------------------------------------------- fused device-env variants
+def _device_env_cfg(n_envs=4):
+    return Config(
+        {
+            "n_envs": n_envs,
+            "name": "linear",
+            "backend": "device",
+            "max_episode_steps": 8,
+            "reset_at_iteration": False,
+            "best_reward_threshold_for_success": 0.5,
+            "wrappers": Config(
+                {
+                    "multi_step": Config(
+                        {
+                            "n_obs_steps": 1,
+                            "n_action_steps": 2,
+                            "max_episode_steps": 8,
+                            "reset_within_step": True,
+                        }
+                    )
+                }
+            ),
+        }
+    )
+
+
+def _device_train_extra():
+    # 12 iterations, block 4, explore 4, updates from itr 5 on
+    return {"block_iters": 4, "log_freq": 4, "val_freq": 8}
+
+
+def test_rlpd_device_agent(tmp_path):
+    model = Config(
+        {
+            "_target_": "dppo.model.rl.gaussian_rlpd.RLPD_Gaussian",
+            "actor": _GAUSS_ACTOR,
+            "critic": _CRITIC_SINGLE,
+            "n_critics": 3,
+            "horizon_steps": 2,
+            "tanh_output": True,
+            "backup_entropy": True,
+            "network_path": None,
+        }
+    )
+    cfg = _base(
+        tmp_path,
+        "dppo_tpu.agents.finetune_sac_device.TrainRLPDDeviceAgent",
+        model,
+        _sac_train({"critic_num_update": 2, **_device_train_extra()}),
+    )
+    cfg["env"] = _device_env_cfg()
+    cfg["offline_dataset"] = _offline_dataset(tmp_path)
+    agent = _run(cfg)
+    assert int(agent.replay.size) > 0
+
+
+def test_ibrl_device_agent(tmp_path):
+    model = Config(
+        {
+            "_target_": "dppo.model.rl.gaussian_ibrl.IBRL_Gaussian",
+            "actor": _GAUSS_ACTOR,
+            "critic": _CRITIC_SINGLE,
+            "n_critics": 3,
+            "horizon_steps": 2,
+            "soft_action_sample": True,
+            "soft_action_sample_beta": 10,
+            "network_path": None,
+        }
+    )
+    cfg = _base(
+        tmp_path,
+        "dppo_tpu.agents.finetune_sac_device.TrainIBRLDeviceAgent",
+        model,
+        _sac_train(
+            {"critic_num_update": 2, "update_freq": 2, **_device_train_extra()}
+        ),
+    )
+    cfg["env"] = _device_env_cfg()
+    agent = _run(cfg)
+    assert int(agent.replay.size) > 0
