@@ -18,6 +18,9 @@ from __future__ import annotations
 import logging
 
 from dppo_tpu.agents.device_fused import DeviceFusedMixin
+from dppo_tpu.agents.finetune_ppo_exact_diffusion import (
+    TrainPPOExactDiffusionAgent,
+)
 from dppo_tpu.agents.finetune_ppo_gaussian import TrainPPOGaussianAgent
 
 log = logging.getLogger(__name__)
@@ -33,4 +36,22 @@ class TrainPPOGaussianDeviceAgent(DeviceFusedMixin, TrainPPOGaussianAgent):
         actions = self.model.sample(
             params, obs, rng, deterministic=not train
         )
+        return actions, actions
+
+
+class TrainPPOExactDiffusionDeviceAgent(DeviceFusedMixin, TrainPPOExactDiffusionAgent):
+    """Exact-likelihood DPPO on a device env: same fused iteration as the
+    Gaussian path (the PPO update batches over (step x env) only; old/new
+    log-probs are the ODE likelihoods of the final action), with the
+    diffusion sampler supplying actions."""
+
+    def __init__(self, cfg):
+        self._validate_device_cfg(cfg)
+        super().__init__(cfg)
+        self._init_device_backend()
+
+    def _device_sample(self, params, obs, rng, train):
+        actions = self.model.sample(
+            params, obs, rng, deterministic=not train, return_chain=False
+        ).trajectories
         return actions, actions

@@ -137,3 +137,95 @@ def test_exact_ppo_agent_end_to_end(tmp_path):
     assert agent.itr == 2
     leaves = jax.tree_util.tree_leaves(agent.update_state.params.actor_ft)
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+def test_exact_ppo_device_agent_fused(tmp_path):
+    """Exact-likelihood DPPO fully fused on a device env: rollout + ODE
+    log-prob PPO update in one XLA program per iteration."""
+    from tests.test_offpolicy import _device_env_cfg
+
+    cfg = Config(
+        {
+            "_target_": "dppo_tpu.agents.finetune_ppo_gaussian_device.TrainPPOExactDiffusionDeviceAgent",
+            "logdir": str(tmp_path / "log"),
+            "seed": 0,
+            "obs_dim": OBS,
+            "action_dim": ACT,
+            "cond_steps": 1,
+            "horizon_steps": 2,
+            "act_steps": 2,
+            "wandb": None,
+            "env": _device_env_cfg(),
+            "train": Config(
+                {
+                    "n_train_itr": 2,
+                    "n_critic_warmup_itr": 0,
+                    "n_steps": 4,
+                    "gamma": 0.99,
+                    "actor_lr": 1e-4,
+                    "actor_weight_decay": 0,
+                    "actor_lr_scheduler": Config(
+                        {"first_cycle_steps": 10, "warmup_steps": 1, "min_lr": 1e-5}
+                    ),
+                    "critic_lr": 1e-3,
+                    "critic_weight_decay": 0,
+                    "critic_lr_scheduler": Config(
+                        {"first_cycle_steps": 10, "warmup_steps": 1, "min_lr": 1e-4}
+                    ),
+                    "save_model_freq": 10,
+                    "val_freq": 10,
+                    "render": Config({"freq": 1, "num": 0}),
+                    "reward_scale_running": True,
+                    "reward_scale_const": 1.0,
+                    "gae_lambda": 0.95,
+                    "batch_size": 8,
+                    "update_epochs": 1,
+                    "vf_coef": 0.5,
+                    "target_kl": 1.0,
+                }
+            ),
+            "model": Config(
+                {
+                    "_target_": "dppo.model.diffusion.diffusion_ppo_exact.PPOExactDiffusion",
+                    "sde": Config(
+                        {"_target_": "dppo.model.diffusion.sde_lib.VPSDE"}
+                    ),
+                    "clip_ploss_coef": 0.1,
+                    "randn_clip_value": 3,
+                    "min_sampling_denoising_std": 0.1,
+                    "min_logprob_denoising_std": 0.1,
+                    "network_path": None,
+                    "sde_int_steps": 6,
+                    "actor": Config(
+                        {
+                            "_target_": "dppo.model.diffusion.mlp_diffusion.DiffusionMLP",
+                            "time_dim": 8,
+                            "mlp_dims": [32, 32, 32],
+                            "activation_type": "ReLU",
+                            "residual_style": True,
+                            "cond_dim": OBS,
+                            "horizon_steps": 2,
+                            "action_dim": ACT,
+                        }
+                    ),
+                    "critic": Config(
+                        {
+                            "_target_": "dppo.model.common.critic.CriticObs",
+                            "cond_dim": OBS,
+                            "mlp_dims": [32, 32],
+                        }
+                    ),
+                    "ft_denoising_steps": 3,
+                    "horizon_steps": 2,
+                    "obs_dim": OBS,
+                    "action_dim": ACT,
+                    "denoising_steps": 6,
+                }
+            ),
+        }
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    assert agent.itr == 2
+    leaves = jax.tree_util.tree_leaves(agent.update_state.params.actor_ft)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
