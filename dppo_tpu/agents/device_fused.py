@@ -62,10 +62,10 @@ class DeviceFusedMixin:
         this again whenever static sampler config changes (e.g. a DPPO
         ft-window promote re-bakes the chain shape)."""
         self._jit_iteration = jax.jit(
-            lambda u, p, r, i: self._rollout(u, p, r, i, train=True)
+            lambda u, p, f, r, i: self._rollout(u, p, f, r, i, train=True)
         )
         self._jit_rollout_eval = jax.jit(
-            lambda u, p, r, i: self._rollout(u, p, r, i, train=False)
+            lambda u, p, f, r, i: self._rollout(u, p, f, r, i, train=False)
         )
 
     # -------------------------------------------------------------- hooks
@@ -86,8 +86,11 @@ class DeviceFusedMixin:
         self.save_model(self.update_state.params)
 
     # ------------------------------------------------------------- rollout
-    def _rollout(self, update_state, pool_state, rng, itr, train: bool):
-        """One full iteration on device. train=True also runs `_update`."""
+    def _rollout(self, update_state, pool_state, first0, rng, itr, train: bool):
+        """One full iteration on device. train=True also runs `_update`.
+        first0 (E,): 1 where step 0 starts a fresh episode — all-ones after
+        a reset, the previous iteration's dones when episodes carry over
+        (host loop parity: firsts_trajs[0] = done_venv)."""
         act_steps = self.act_steps
 
         def macro_step(carry, step_rng):
@@ -122,7 +125,7 @@ class DeviceFusedMixin:
         # i>0 starts fresh iff step i-1 ended done (host loop parity:
         # firsts_trajs[step + 1] = done_venv)
         firsts = jnp.concatenate(
-            [jnp.ones((1, self.n_envs)), done_trajs[:-1]], axis=0
+            [first0[None].astype(jnp.float32), done_trajs[:-1]], axis=0
         )
         final_obs = {"state": pool_state.hist}
         new_update_state, diag = self._update(
@@ -168,12 +171,14 @@ class DeviceFusedMixin:
                 first0 = np.asarray(last_done, dtype=np.float64)
             last_itr_eval = eval_mode
 
+            first0_dev = jnp.asarray(first0, jnp.float32)
             if eval_mode:
                 with phase_timer.phase("sample"):
                     pool_state, reward_trajs, done_trajs = jax.block_until_ready(
                         self._jit_rollout_eval(
                             self.update_state,
                             pool_state,
+                            first0_dev,
                             self.next_rng(),
                             jnp.asarray(self.itr, jnp.int32),
                         )
@@ -191,6 +196,7 @@ class DeviceFusedMixin:
                         self._jit_iteration(
                             self.update_state,
                             pool_state,
+                            first0_dev,
                             self.next_rng(),
                             jnp.asarray(self.itr, jnp.int32),
                         )

@@ -113,8 +113,9 @@ def test_sharded_fused_device_iteration_matches_single_device():
     key = jax.random.key(5)
     itr = jnp.asarray(0, jnp.int32)
 
+    first0 = jnp.ones((E,), jnp.float32)
     ref_state, _, ref_rew, ref_done, ref_diag = agent._jit_iteration(
-        agent.update_state, pool0, key, itr
+        agent.update_state, pool0, first0, key, itr
     )
 
     mesh = make_mesh(8)
@@ -123,7 +124,7 @@ def test_sharded_fused_device_iteration_matches_single_device():
     )
     state_r = replicate(mesh, agent.update_state)
     new_state, _, rew, done, diag = agent._jit_iteration(
-        state_r, pool_sh, key, itr
+        state_r, pool_sh, first0, key, itr
     )
 
     np.testing.assert_allclose(
@@ -175,15 +176,16 @@ def test_sharded_fused_gaussian_iteration_matches_single_device():
     key = jax.random.key(5)
     itr = jnp.asarray(0, jnp.int32)
 
+    first0 = jnp.ones((16,), jnp.float32)
     ref_state, _, ref_rew, ref_done, ref_diag = agent._jit_iteration(
-        agent.update_state, pool0, key, itr
+        agent.update_state, pool0, first0, key, itr
     )
 
     mesh = make_mesh(8)
     pool_sh = jax.tree_util.tree_map(lambda x: shard_axis(mesh, x, 0), pool0)
     state_r = replicate(mesh, agent.update_state)
     new_state, _, rew, done, diag = agent._jit_iteration(
-        state_r, pool_sh, key, itr
+        state_r, pool_sh, first0, key, itr
     )
     np.testing.assert_allclose(
         np.asarray(rew), np.asarray(ref_rew), rtol=1e-5, atol=1e-5

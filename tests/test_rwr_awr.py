@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dppo_tpu.config import Config, get_class
 from tests.test_agents_more import _env_cfg
@@ -140,4 +141,104 @@ def test_awr_agent(tmp_path):
     agent.run()
     assert agent.itr == 2
     leaves = jax.tree_util.tree_leaves(agent.state.params.actor)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+# --------------------------------------------- fused device-env variant
+def test_episode_returns_and_valid_matches_host_split():
+    """The device returns/valid scans reproduce the host loop's ragged
+    numpy episode split (finetune_rwr_diffusion.py run) element for
+    element, including carried-over episodes, unclosed tails, and 1-step
+    episodes."""
+    import jax.numpy as jnp
+
+    from dppo_tpu.agents.finetune_rwr_device import episode_returns_and_valid
+
+    rng = np.random.default_rng(0)
+    gamma = 0.9
+    for trial in range(20):
+        S, E = rng.integers(2, 12), rng.integers(1, 5)
+        rewards = rng.standard_normal((S, E)).astype(np.float32)
+        dones = (rng.random((S, E)) < 0.3).astype(np.float32)
+        first0 = (rng.random(E) < 0.5).astype(np.float32)
+
+        # host reference: the exact split from the RWR host loop
+        firsts = np.zeros((S + 1, E))
+        firsts[0] = first0
+        firsts[1:] = dones
+        ret_ref = np.zeros((S, E), np.float32)
+        valid_ref = np.zeros((S, E), np.float32)
+        for e in range(E):
+            env_steps = np.where(firsts[:, e] == 1)[0]
+            for i in range(len(env_steps) - 1):
+                start, end = env_steps[i], env_steps[i + 1]
+                if end - start <= 1:
+                    continue
+                r = rewards[start:end, e]
+                prev = 0.0
+                for t in range(len(r) - 1, -1, -1):
+                    prev = r[t] + gamma * prev
+                    ret_ref[start + t, e] = prev
+                valid_ref[start:end, e] = 1.0
+
+        ret, valid = episode_returns_and_valid(
+            jnp.asarray(rewards), jnp.asarray(dones), jnp.asarray(first0),
+            gamma,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(valid), valid_ref,
+            err_msg=f"trial {trial} valid mask",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ret) * valid_ref, ret_ref, atol=1e-5,
+            err_msg=f"trial {trial} returns",
+        )
+
+
+def test_rwr_device_agent_fused(tmp_path):
+    from tests.test_offpolicy import _device_env_cfg
+
+    cfg = Config(
+        {
+            "_target_": "dppo_tpu.agents.finetune_rwr_device.TrainRWRDiffusionDeviceAgent",
+            "logdir": str(tmp_path / "log"),
+            "seed": 0,
+            "obs_dim": OBS,
+            "action_dim": ACT,
+            "cond_steps": 1,
+            "horizon_steps": 2,
+            "act_steps": 2,
+            "wandb": None,
+            "env": _device_env_cfg(),
+            "train": Config(
+                {
+                    "n_train_itr": 2,
+                    "n_steps": 8,
+                    "gamma": 0.99,
+                    "lr": 1e-4,
+                    "weight_decay": 0,
+                    "lr_scheduler": Config(
+                        {"first_cycle_steps": 10, "warmup_steps": 1, "min_lr": 1e-5}
+                    ),
+                    "beta": 10,
+                    "max_reward_weight": 100,
+                    "batch_size": 16,
+                    "update_epochs": 2,
+                    "save_model_freq": 10,
+                    "val_freq": 10,
+                }
+            ),
+            "model": Config(
+                {
+                    "_target_": "dppo.model.diffusion.diffusion_rwr.RWRDiffusion",
+                    "network": _ACTOR,
+                    **_MODEL_COMMON,
+                }
+            ),
+        }
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    assert agent.itr == 2
+    leaves = jax.tree_util.tree_leaves(agent.state.params)
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
