@@ -515,6 +515,91 @@ def test_fused_device_gaussian_e2e(pendulum_assets, monkeypatch):
     assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves)
 
 
+def test_fused_device_gmm_ppo(tmp_path):
+    """The Gaussian fused device agent serves GMM policies unchanged (the
+    model interface is identical): one dispatch per iteration on the
+    linear device task."""
+    from dppo_tpu.config import Config
+    from tests.test_offpolicy import _device_env_cfg
+
+    obs_dim, action_dim = 5, 2
+    cfg = Config(
+        {
+            "_target_": "dppo_tpu.agents.finetune_ppo_gaussian_device.TrainPPOGaussianDeviceAgent",
+            "logdir": str(tmp_path / "log"),
+            "seed": 0,
+            "obs_dim": obs_dim,
+            "action_dim": action_dim,
+            "cond_steps": 1,
+            "horizon_steps": 2,
+            "act_steps": 2,
+            "wandb": None,
+            "env": _device_env_cfg(),
+            "train": Config(
+                {
+                    "n_train_itr": 2,
+                    "n_critic_warmup_itr": 0,
+                    "n_steps": 5,
+                    "gamma": 0.99,
+                    "actor_lr": 1e-4,
+                    "actor_weight_decay": 0,
+                    "actor_lr_scheduler": Config(
+                        {"first_cycle_steps": 10, "warmup_steps": 1,
+                         "min_lr": 1e-5}
+                    ),
+                    "critic_lr": 1e-3,
+                    "critic_weight_decay": 0,
+                    "critic_lr_scheduler": Config(
+                        {"first_cycle_steps": 10, "warmup_steps": 1,
+                         "min_lr": 1e-4}
+                    ),
+                    "save_model_freq": 10,
+                    "val_freq": 10,
+                    "render": Config({"freq": 1, "num": 0}),
+                    "reward_scale_running": True,
+                    "reward_scale_const": 1.0,
+                    "gae_lambda": 0.95,
+                    "batch_size": 16,
+                    "update_epochs": 2,
+                    "vf_coef": 0.5,
+                    "target_kl": 1.0,
+                }
+            ),
+            "model": Config(
+                {
+                    "_target_": "dppo.model.rl.gmm_ppo.PPO_GMM",
+                    "clip_ploss_coef": 0.1,
+                    "network_path": None,
+                    "actor": Config(
+                        {
+                            "_target_": "dppo.model.common.mlp_gmm.GMM_MLP",
+                            "mlp_dims": [32, 32],
+                            "num_modes": 3,
+                            "fixed_std": 0.1,
+                            "cond_dim": obs_dim,
+                            "horizon_steps": 2,
+                            "action_dim": action_dim,
+                        }
+                    ),
+                    "critic": Config(
+                        {
+                            "_target_": "dppo.model.common.critic.CriticObs",
+                            "cond_dim": obs_dim,
+                            "mlp_dims": [32, 32],
+                        }
+                    ),
+                    "horizon_steps": 2,
+                }
+            ),
+        }
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    assert agent.itr == 2
+    leaves = jax.tree_util.tree_leaves(agent.update_state.params.actor_ft)
+    assert all(bool(np.isfinite(np.asarray(l)).all()) for l in leaves)
+
+
 def test_fused_device_gaussian_rejects_host_env(tmp_path, monkeypatch):
     monkeypatch.setenv("DPPO_DATA_DIR", str(tmp_path))
     monkeypatch.setenv("DPPO_LOG_DIR", str(tmp_path))
