@@ -38,7 +38,22 @@ REFERENCE_DENOISE_STEPS_PER_S = 1.0e4  # documented estimate, fixed across round
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: axon-tunnel compiles of the nested-scan
+    # sampler take minutes; cache them across bench invocations
+    try:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_model
