@@ -81,12 +81,33 @@ class TrainAWRDiffusionAgent(TrainAgent):
         )
         self._jit_update = jax.jit(self._update)
 
-    def _update(self, state: AWRState, obs, actions, rewards, terminateds, rng, itr):
+    def _update(
+        self,
+        state: AWRState,
+        obs,
+        actions,
+        rewards,
+        terminateds,
+        rng,
+        itr,
+        n_valid_steps=None,
+    ):
         """Buffered arrays, time-ordered: obs (Sb, E, To, Do); actions
-        (Sb, E, Ta, Da); rewards/terminateds (Sb, E)."""
+        (Sb, E, Ta, Da); rewards/terminateds (Sb, E).
+
+        `n_valid_steps` (traced int32, optional) marks the newest
+        `n_valid_steps` rows as the sample population — used by the fused
+        device agent whose fixed-capacity window fills front-padded with
+        zeros (the host deque path always passes full arrays). TD(λ)
+        targets for valid rows only ever read values at or after their own
+        row, so the front padding never leaks into sampled targets."""
         model = self.model
         Sb, E = rewards.shape
         N = Sb * E
+        if n_valid_steps is None:
+            n_valid_steps = jnp.asarray(Sb, jnp.int32)
+        valid_base = (Sb - n_valid_steps) * E
+        n_valid = n_valid_steps * E
         obs_flat = obs.reshape(N, *obs.shape[2:])
 
         values = model.critic_value(state.params, {"state": obs_flat}).reshape(
@@ -135,7 +156,7 @@ class TrainAWRDiffusionAgent(TrainAgent):
 
         def critic_step(carry, sub):
             critic_params, c_opt = carry
-            inds = jax.random.randint(sub, (bs,), 0, N)
+            inds = valid_base + jax.random.randint(sub, (bs,), 0, n_valid)
             loss, grads = jax.value_and_grad(model.loss_critic)(
                 critic_params, {"state": obs_flat[inds]}, td_flat[inds]
             )
@@ -156,7 +177,7 @@ class TrainAWRDiffusionAgent(TrainAgent):
         def actor_step(carry, sub):
             actor_params, a_opt = carry
             sub_i, sub_l = jax.random.split(sub)
-            inds = jax.random.randint(sub_i, (bs,), 0, N)
+            inds = valid_base + jax.random.randint(sub_i, (bs,), 0, n_valid)
             adv_b = advantages[inds]
             adv_b = (adv_b - adv_b.mean()) / (adv_b.std() + 1e-6)
             weights = jnp.minimum(

@@ -242,3 +242,132 @@ def test_rwr_device_agent_fused(tmp_path):
     assert agent.itr == 2
     leaves = jax.tree_util.tree_leaves(agent.state.params)
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+def _awr_train_cfg(n_steps=6, buffer_size=48):
+    return Config(
+        {
+            "n_train_itr": 3,
+            "n_steps": n_steps,
+            "gamma": 0.99,
+            "n_critic_warmup_itr": 0,
+            "actor_lr": 1e-4,
+            "actor_weight_decay": 0,
+            "actor_lr_scheduler": Config(
+                {"first_cycle_steps": 10, "warmup_steps": 1, "min_lr": 1e-5}
+            ),
+            "critic_lr": 1e-3,
+            "critic_weight_decay": 0,
+            "critic_lr_scheduler": Config(
+                {"first_cycle_steps": 10, "warmup_steps": 1, "min_lr": 1e-4}
+            ),
+            "beta": 10,
+            "max_adv_weight": 100,
+            "scale_reward_factor": 0.01,
+            "buffer_size": buffer_size,
+            "batch_size": 16,
+            "replay_ratio": 4,
+            "critic_update_ratio": 2,
+            "save_model_freq": 10,
+            "val_freq": 10,
+        }
+    )
+
+
+def _awr_model_cfg():
+    return Config(
+        {
+            "_target_": "dppo.model.diffusion.diffusion_awr.AWRDiffusion",
+            "actor": _ACTOR,
+            "critic": Config(
+                {
+                    "_target_": "dppo.model.common.critic.CriticObs",
+                    "cond_dim": OBS,
+                    "mlp_dims": [32, 32],
+                }
+            ),
+            **_MODEL_COMMON,
+        }
+    )
+
+
+def test_awr_device_agent_fused(tmp_path):
+    """Fused device AWR: rollout + window insert + update in one dispatch;
+    the cross-iteration FIFO window survives on device (3 train iters with
+    buffer capacity 6 steps vs n_steps=4 exercises partial fill, carry-over,
+    and FIFO eviction)."""
+    from tests.test_offpolicy import _device_env_cfg
+
+    cfg = Config(
+        {
+            "_target_": "dppo_tpu.agents.finetune_awr_device.TrainAWRDiffusionDeviceAgent",
+            "logdir": str(tmp_path / "log"),
+            "seed": 0,
+            "obs_dim": OBS,
+            "action_dim": ACT,
+            "cond_steps": 1,
+            "horizon_steps": 2,
+            "act_steps": 2,
+            "wandb": None,
+            "env": _device_env_cfg(),
+            "train": _awr_train_cfg(n_steps=4, buffer_size=24),
+            "model": _awr_model_cfg(),
+        }
+    )
+    # device env: linear task obs_dim/action_dim come from the env cfg
+    cfg["env"]["n_envs"] = 4
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    assert agent.itr == 3
+    # itr 0 is eval (val_freq=10); itrs 1,2 train: filled = min(4+4, 6)
+    assert int(agent.window.filled) == 6
+    leaves = jax.tree_util.tree_leaves(agent.state.params)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+def test_awr_update_never_reads_padding(tmp_path):
+    """NaN probe: with n_valid_steps set, the AWR update must never gather
+    the front padding rows — fill them with NaN and require finite params,
+    losses, and optimizer state after the update."""
+    from tests.test_agents_more import _env_cfg
+
+    cfg = Config(
+        {
+            "_target_": "dppo.agent.finetune.train_awr_diffusion_agent.TrainAWRDiffusionAgent",
+            "logdir": str(tmp_path / "log"),
+            "seed": 0,
+            "obs_dim": OBS,
+            "action_dim": ACT,
+            "cond_steps": 1,
+            "horizon_steps": 2,
+            "act_steps": 2,
+            "wandb": None,
+            "env": _env_cfg(),
+            "train": _awr_train_cfg(),
+            "model": _awr_model_cfg(),
+        }
+    )
+    agent = get_class(cfg._target_)(cfg)
+    Sb, E, valid = 8, 3, 5
+    rng = np.random.default_rng(1)
+    obs = rng.standard_normal((Sb, E, 1, OBS)).astype(np.float32)
+    actions = rng.standard_normal((Sb, E, 2, ACT)).astype(np.float32)
+    rewards = rng.standard_normal((Sb, E)).astype(np.float32)
+    terminateds = (rng.random((Sb, E)) < 0.2).astype(np.float32)
+    pad = Sb - valid
+    obs[:pad] = np.nan
+    actions[:pad] = np.nan
+    rewards[:pad] = np.nan
+    state, loss_actor, loss_critic = agent._update(
+        agent.state,
+        jnp.asarray(obs),
+        jnp.asarray(actions),
+        jnp.asarray(rewards),
+        jnp.asarray(terminateds),
+        jax.random.PRNGKey(0),
+        jnp.asarray(1, jnp.int32),
+        n_valid_steps=jnp.asarray(valid, jnp.int32),
+    )
+    assert bool(jnp.isfinite(loss_actor)) and bool(jnp.isfinite(loss_critic))
+    leaves = jax.tree_util.tree_leaves((state.params, state.actor_opt, state.critic_opt))
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves if jnp.issubdtype(l.dtype, jnp.floating))
