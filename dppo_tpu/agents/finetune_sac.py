@@ -43,11 +43,22 @@ class TrainSACAgent(TrainAgent):
         self.gamma = float(cfg.train.gamma)
         self.target_ema_rate = float(cfg.train.target_ema_rate)
         self.scale_reward_factor = float(cfg.train.scale_reward_factor)
+        # Cal-QL cfgs carry no replay ratios (reference schema: its update
+        # cadence is num_update per iteration, `_should_update` is
+        # overridden) — default to updating every iteration
         self.critic_update_freq = max(
-            1, int(cfg.train.batch_size / cfg.train.critic_replay_ratio)
+            1,
+            int(
+                cfg.train.batch_size
+                / cfg.train.get("critic_replay_ratio", cfg.train.batch_size)
+            ),
         )
         self.actor_update_freq = max(
-            1, int(cfg.train.batch_size / cfg.train.actor_replay_ratio)
+            1,
+            int(
+                cfg.train.batch_size
+                / cfg.train.get("actor_replay_ratio", cfg.train.batch_size)
+            ),
         )
         self.buffer_size = int(cfg.train.buffer_size)
         self.n_eval_episode = int(cfg.train.n_eval_episode)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dppo_tpu.agents.device_fused import DeviceFusedMixin
+from dppo_tpu.agents.finetune_calql import TrainCalQLAgent
 from dppo_tpu.agents.finetune_ibrl import TrainIBRLAgent
 from dppo_tpu.agents.finetune_rlpd import TrainRLPDAgent
 from dppo_tpu.agents.finetune_sac import TrainSACAgent
@@ -56,6 +57,9 @@ class TrainSACDeviceAgent(TrainSACAgent):
         assert isinstance(self.venv, DeviceVectorEnv)
         self.pool = self.venv.pool
         self.block_iters = int(cfg.train.get("block_iters", 512))
+        # env steps one fused block iteration advances (CalQL: n_steps
+        # macro-steps per iteration; SAC/RLPD/IBRL: one)
+        self.env_steps_per_block_iter = self.n_envs * self.act_steps
         self._jit_block_cache = {}
         self._jit_eval = jax.jit(self._eval_rollout, static_argnames=("chunks",))
 
@@ -271,12 +275,12 @@ class TrainSACDeviceAgent(TrainSACAgent):
             firsts = np.concatenate([first0[None], dones], axis=0)
             first0 = dones[-1]
             stats = self._episode_stats(firsts, rewards)
-            cnt_train_step += block * self.n_envs * self.act_steps
+            cnt_train_step += block * self.env_steps_per_block_iter
             self.itr += block
 
             diag = {k: float(v) for k, v in diag.items()}
             diag["env_steps_per_s"] = (
-                block * self.n_envs * self.act_steps / max(wall, 1e-9)
+                block * self.env_steps_per_block_iter / max(wall, 1e-9)
             )
             diag["block_iters"] = float(block)
             if (
@@ -307,6 +311,143 @@ class TrainRLPDDeviceAgent(TrainSACDeviceAgent, TrainRLPDAgent):
         state, loss_c, loss_a = jax.lax.cond(do, upd, skip, state)
         d = do.astype(jnp.float32)
         return state, loss_c, loss_a, d, d
+
+
+class TrainCalQLDeviceAgent(TrainSACDeviceAgent, TrainCalQLAgent):
+    """Cal-QL on the fused device block.
+
+    Host-loop parity (`finetune_calql.py`): each iteration runs `n_steps`
+    env macro-steps whose transitions pend until iteration end, when the
+    pending window's discounted reward-to-go is computed and everything is
+    flushed into replay, followed by `num_update` mixed offline/online
+    CQL-calibrated updates. Here the whole iteration is one scan step: the
+    n_steps rollout is an inner scan, the RTG backward pass and per-step
+    replay inserts are scans over the window, and `_calql_update` (the same
+    pure function the host jits) runs under `lax.cond` — so a block of
+    iterations is ONE XLA dispatch. `use_online` is static: inserts precede
+    the update inside each iteration, so whenever `train_online` is set the
+    online ring is non-empty by update time (the host's `size > 0` guard
+    exists only for its first-iteration ordering)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.env_steps_per_block_iter = (
+            self.n_envs * self.act_steps * self.n_steps
+        )
+
+    def _train_block(self, state, replay, pool_state, rng, itr0, block,
+                     explore):
+        model = self.model
+        E = self.n_envs
+
+        def iteration(carry, i):
+            state, replay, pool_state, rng = carry
+            rng, r_roll, r_upd = jax.random.split(rng, 3)
+
+            def env_step(pool_state, step_rng):
+                obs = {"state": pool_state.hist}
+                if explore:
+                    actions = jax.random.uniform(
+                        step_rng,
+                        (E, self.act_steps, self.action_dim),
+                        minval=-1.0,
+                        maxval=1.0,
+                    )
+                else:
+                    actions = model.sample(
+                        state.params, obs, step_rng, deterministic=False
+                    )[:, : self.act_steps]
+                pool_state, out = self.pool.step_chunk(pool_state, actions)
+                next_state = jnp.where(
+                    out.truncated[:, None, None], out.final_obs, out.obs
+                )
+                done = out.terminated | out.truncated
+                ys = (
+                    obs["state"],
+                    next_state,
+                    actions,
+                    out.reward * self.scale_reward_factor,
+                    out.terminated.astype(jnp.float32),
+                    out.reward,
+                    done.astype(jnp.float32),
+                )
+                return pool_state, ys
+
+            pool_state, (obs_w, next_w, act_w, rew_w, term_w, raw_rew, dones) = (
+                jax.lax.scan(
+                    env_step, pool_state, jax.random.split(r_roll, self.n_steps)
+                )
+            )
+
+            # pending-window reward-to-go (host parity: _flush_pending)
+            def rtg_step(acc, x):
+                r_t, term_t = x
+                acc = r_t + self.gamma * acc * (1.0 - term_t)
+                return acc, acc
+
+            _, rtg_rev = jax.lax.scan(
+                rtg_step, jnp.zeros((E,)), (rew_w[::-1], term_w[::-1])
+            )
+            rtg_w = rtg_rev[::-1]
+
+            def insert_step(replay, x):
+                o, n, a, r, t, g = x
+                return (
+                    replay_insert(
+                        replay,
+                        {
+                            "obs": o,
+                            "next_obs": n,
+                            "actions": a,
+                            "rewards": r,
+                            "terminated": t,
+                            "reward_to_go": g,
+                        },
+                    ),
+                    None,
+                )
+
+            replay, _ = jax.lax.scan(
+                insert_step, replay, (obs_w, next_w, act_w, rew_w, term_w, rtg_w)
+            )
+
+            # host parity (_should_update): offline phase updates every
+            # iteration; online updates once past the explore phase
+            if explore and self.train_online:
+                losses = jnp.zeros((2,))
+                did = jnp.float32(0.0)
+            else:
+                state, losses = self._calql_update(
+                    state, replay, r_upd, use_online=self.train_online
+                )
+                did = jnp.float32(1.0)
+            ys = (raw_rew, dones, losses[0], losses[1], did)
+            return (state, replay, pool_state, rng), ys
+
+        (state, replay, pool_state, _), ys = jax.lax.scan(
+            iteration,
+            (state, replay, pool_state, rng),
+            jnp.arange(block, dtype=jnp.int32),
+        )
+        rewards, dones, loss_c, loss_a, did = ys
+        n_u = jnp.maximum(did.sum(), 1.0)
+        diag = {
+            "loss_critic": (loss_c * did).sum() / n_u,
+            "loss_actor": (loss_a * did).sum() / n_u,
+            "num_critic_updates": did.sum() * self.num_update,
+            "num_actor_updates": did.sum() * self.num_update,
+            "alpha": jnp.exp(state.params.log_alpha),
+        }
+        # (block, n_steps, E) -> (block*n_steps, E) for episode accounting
+        S = rewards.shape[0] * rewards.shape[1]
+        return (
+            state,
+            replay,
+            pool_state,
+            rewards.reshape(S, E),
+            dones.reshape(S, E),
+            diag,
+        )
 
 
 class TrainIBRLDeviceAgent(TrainSACDeviceAgent, TrainIBRLAgent):

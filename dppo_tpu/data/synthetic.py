@@ -100,10 +100,10 @@ def collect_gym_demos(
     act_scale = np.where(
         np.isfinite(env.action_space.high), env.action_space.high, 1.0
     ).astype(np.float32)
-    states, actions, lengths = [], [], []
+    states, actions, rewards, terminals, lengths = [], [], [], [], []
     for ep in range(n_episodes):
         obs, _ = env.reset(seed=seed + ep)
-        ep_s, ep_a = [], []
+        ep_s, ep_a, ep_r, ep_t = [], [], [], []
         prev_a = np.zeros(env.action_space.shape, dtype=np.float32)
         for _ in range(max_steps):
             a = np.clip(
@@ -114,11 +114,15 @@ def collect_gym_demos(
             ep_s.append(flat(obs))
             ep_a.append(a * act_scale)
             obs, r, term, trunc, _ = env.step(a * act_scale)
+            ep_r.append(np.float32(r))
+            ep_t.append(bool(term))
             prev_a = a
             if term or trunc:
                 break
         states.append(np.stack(ep_s))
         actions.append(np.stack(ep_a))
+        rewards.append(np.asarray(ep_r, np.float32))
+        terminals.append(np.asarray(ep_t, bool))
         lengths.append(len(ep_s))
     env.close()
     all_s = np.concatenate(states)
@@ -132,6 +136,10 @@ def collect_gym_demos(
         path,
         states=norm_s.astype(np.float32),
         actions=norm_a.astype(np.float32),
+        # rewards/terminals make the set loadable as a Q-learning dataset
+        # (Cal-QL/RLPD offline mixing), matching the d4rl converter output
+        rewards=np.concatenate(rewards),
+        terminals=np.concatenate(terminals),
         traj_lengths=np.asarray(lengths),
     )
     np.savez(

@@ -285,3 +285,75 @@ def test_ibrl_device_agent(tmp_path):
     cfg["env"] = _device_env_cfg()
     agent = _run(cfg)
     assert int(agent.replay.size) > 0
+
+
+def test_calql_device_agent(tmp_path):
+    """Fused Cal-QL: each block iteration = n_steps env macro-steps +
+    pending-window reward-to-go + replay flush + num_update mixed
+    offline/online updates, all in one dispatch."""
+    model = Config(
+        {
+            "_target_": "dppo.model.rl.gaussian_calql.CalQL_Gaussian",
+            "actor": _GAUSS_ACTOR,
+            "critic": _CRITIC_QA,
+            "horizon_steps": 2,
+            "tanh_output": True,
+            "cql_min_q_weight": 5.0,
+            "cql_n_actions": 3,
+            "network_path": None,
+        }
+    )
+    cfg = _base(
+        tmp_path,
+        "dppo_tpu.agents.finetune_sac_device.TrainCalQLDeviceAgent",
+        model,
+        _sac_train(
+            {
+                "train_online": True,
+                "n_random_actions": 3,
+                "num_update": 2,
+                "n_steps": 2,
+                **_device_train_extra(),
+            }
+        ),
+    )
+    cfg["env"] = _device_env_cfg()
+    cfg["offline_dataset"] = _offline_dataset(tmp_path, mc=True)
+    agent = _run(cfg)
+    assert int(agent.replay.size) > 0
+    assert "reward_to_go" in agent.replay.data
+
+
+def test_calql_device_offline_phase(tmp_path):
+    """train_online=false (the offline pretrain phase): updates run every
+    iteration from itr 0 on offline batches only."""
+    model = Config(
+        {
+            "_target_": "dppo.model.rl.gaussian_calql.CalQL_Gaussian",
+            "actor": _GAUSS_ACTOR,
+            "critic": _CRITIC_QA,
+            "horizon_steps": 2,
+            "tanh_output": True,
+            "cql_min_q_weight": 5.0,
+            "cql_n_actions": 3,
+            "network_path": None,
+        }
+    )
+    cfg = _base(
+        tmp_path,
+        "dppo_tpu.agents.finetune_sac_device.TrainCalQLDeviceAgent",
+        model,
+        _sac_train(
+            {
+                "train_online": False,
+                "n_random_actions": 3,
+                "num_update": 2,
+                "n_explore_steps": 0,
+                "n_train_itr": 6,
+                **_device_train_extra(),
+            }
+        ),
+    )
+    cfg["env"] = _device_env_cfg()
+    cfg["offline_dataset"] = _offline_dataset(tmp_path, mc=True)
+    _run(cfg)
