@@ -271,3 +271,140 @@ def test_sharded_fused_sac_block_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_awr_iteration_matches_single_device():
+    """The fused AWR iteration (rollout + device-resident FIFO window
+    insert + TD(λ) + weighted-regression updates in one program): env axis
+    sharded, learner + window replicated."""
+    import os
+
+    from dppo_tpu.config import get_class, load_config
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(REPO, "cfg/gym/finetune/pendulum-v1/ft_awr_diffusion_mlp.yaml"),
+        overrides=[
+            "normalization_path=null",
+            "base_policy_path=null",
+            "model.network_path=null",
+            "env.n_envs=16",
+            "env.max_episode_steps=16",
+            "train.n_steps=4",
+            "train.batch_size=32",
+            "train.buffer_size=128",
+            "train.replay_ratio=8",
+            "model.actor.mlp_dims=[32, 32, 32]",
+            "model.actor.time_dim=8",
+            "model.critic.mlp_dims=[32, 32, 32]",
+            "denoising_steps=4",
+            "logdir=/tmp/mh_awr",
+            "wandb=null",
+        ],
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.venv.reset_arg()
+    pool0 = agent.venv.pool_state
+    key = jax.random.key(7)
+    itr = jnp.asarray(1, jnp.int32)
+
+    ref_state, ref_win, _, ref_rew, ref_done, ref_losses = agent._jit_iteration(
+        agent.state, agent.window, pool0, key, itr
+    )
+
+    mesh = make_mesh(8)
+    pool_sh = jax.tree_util.tree_map(lambda x: shard_axis(mesh, x, 0), pool0)
+    state_r = replicate(mesh, agent.state)
+    win_r = replicate(mesh, agent.window)
+    new_state, new_win, _, rew, done, losses = agent._jit_iteration(
+        state_r, win_r, pool_sh, key, itr
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(rew), np.asarray(ref_rew), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(done), np.asarray(ref_done))
+    assert int(new_win.filled) == int(ref_win.filled)
+    for name, a, b in zip(("actor", "critic"), ref_losses, losses):
+        np.testing.assert_allclose(
+            float(b), float(a), rtol=2e-4, atol=2e-5,
+            err_msg=f"loss_{name} diverged under sharding",
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.params),
+        jax.tree_util.tree_leaves(new_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_calql_block_matches_single_device(tmp_path):
+    """The fused Cal-QL block (rollout window + reward-to-go + replay flush
+    + mixed offline/online updates): env axis sharded, learner + replay +
+    offline dataset replicated."""
+    import os
+
+    from dppo_tpu.config import get_class, load_config
+    from dppo_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = str(tmp_path / "offline.npz")
+    make_synthetic_dataset(
+        ds, n_episodes=4, traj_length=30, obs_dim=3, action_dim=1,
+        with_rewards=True,
+    )
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(REPO, "cfg/gym/finetune/pendulum-v1/calql_mlp_online.yaml"),
+        overrides=[
+            "normalization_path=null",
+            f"offline_dataset_path={ds}",
+            "env.n_envs=16",
+            "env.max_episode_steps=16",
+            "train.n_steps=2",
+            "train.num_update=2",
+            "train.batch_size=32",
+            "train.buffer_size=256",
+            "model.actor.mlp_dims=[32, 32]",
+            "model.critic.mlp_dims=[32, 32]",
+            "logdir=/tmp/mh_calql",
+            "wandb=null",
+        ],
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.venv.reset_arg()
+    pool0 = agent.venv.pool_state
+    key = jax.random.key(9)
+
+    train = agent._jit_block(3, False)
+    ref_st, ref_rp, _, ref_rew, ref_done, ref_diag = train(
+        agent.state, agent.replay, pool0, key, jnp.asarray(0, jnp.int32)
+    )
+
+    mesh = make_mesh(8)
+    pool_sh = jax.tree_util.tree_map(lambda x: shard_axis(mesh, x, 0), pool0)
+    st_r = replicate(mesh, agent.state)
+    rp_r = replicate(mesh, agent.replay)
+    new_st, new_rp, _, rew, done, diag = train(
+        st_r, rp_r, pool_sh, key, jnp.asarray(0, jnp.int32)
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(rew), np.asarray(ref_rew), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(done), np.asarray(ref_done))
+    assert int(new_rp.size) == int(ref_rp.size)
+    for k in ("loss_critic", "loss_actor"):
+        np.testing.assert_allclose(
+            float(diag[k]), float(ref_diag[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"diagnostic {k} diverged under sharding",
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_st.params),
+        jax.tree_util.tree_leaves(new_st.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
