@@ -37,10 +37,40 @@ import numpy as np
 REFERENCE_DENOISE_STEPS_PER_S = 1.0e4  # documented estimate, fixed across rounds
 
 
+def _wait_for_backend(max_probes: int = 5, probe_timeout: int = 90,
+                      retry_sleep: int = 150) -> None:
+    """The axon tunnel intermittently wedges: `jax.devices()` answers but
+    compile RPCs hang indefinitely. Probe with a tiny jit in a SUBPROCESS
+    (a hung RPC blocks in C++ and cannot be interrupted in-process) and
+    wait for recovery before measuring, so a temporary wedge does not cost
+    the round its bench artifact. Proceeds after max_probes either way."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "jax.jit(lambda x: x.sum())(jnp.ones(8)).block_until_ready()"
+    )
+    for i in range(max_probes):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=probe_timeout,
+                check=True,
+                capture_output=True,
+            )
+            return
+        except Exception:
+            if i < max_probes - 1:
+                time.sleep(retry_sleep)
+
+
 def main():
     import os
 
     import jax
+
+    _wait_for_backend()
 
     # persistent compilation cache: axon-tunnel compiles of the nested-scan
     # sampler take minutes; cache them across bench invocations
