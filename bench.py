@@ -43,7 +43,9 @@ def _wait_for_backend(max_probes: int = 5, probe_timeout: int = 90,
     compile RPCs hang indefinitely. Probe with a tiny jit in a SUBPROCESS
     (a hung RPC blocks in C++ and cannot be interrupted in-process) and
     wait for recovery before measuring, so a temporary wedge does not cost
-    the round its bench artifact. Proceeds after max_probes either way."""
+    the round its bench artifact. If every probe fails, emit a diagnostic
+    JSON line and exit rather than proceeding into a measurement that
+    would hang without ever printing."""
     import subprocess
     import sys
 
@@ -63,6 +65,18 @@ def _wait_for_backend(max_probes: int = 5, probe_timeout: int = 90,
         except Exception:
             if i < max_probes - 1:
                 time.sleep(retry_sleep)
+    print(
+        json.dumps(
+            {
+                "metric": "denoise_steps_per_s_per_chip",
+                "value": 0,
+                "unit": "denoise-steps/s/chip",
+                "vs_baseline": 0,
+                "error": "backend wedged: all compile probes timed out",
+            }
+        )
+    )
+    sys.exit(0)
 
 
 def main():

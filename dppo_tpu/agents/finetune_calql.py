@@ -4,8 +4,15 @@ reward-to-go, `:31, :119-125`), online phase mixing offline + online batches
 50/50 (`:384-391`), uniform random actions for the CQL penalty (`:395-406`),
 SAC-style actor/temperature updates, Polyak target critic.
 
-Online episodes' reward-to-go is computed per completed episode at iteration
-end (`:258-276`) and stored alongside transitions."""
+Online episodes' reward-to-go is computed per completed episode (`:258-276`)
+and stored alongside transitions: transitions pend in per-env lists until
+their episode finishes (terminated or truncated), at which point the
+episode's discounted Monte-Carlo return-to-go is computed backward and the
+whole episode is inserted into replay. Episodes interrupted by an env reset
+(eval, reset_at_iteration) are flushed as if truncated — the reference
+instead silently drops their returns (`:272` only extends completed
+episodes), so keeping the truncated-MC tail is a strictly-more-data
+deviation."""
 
 from __future__ import annotations
 
@@ -63,7 +70,8 @@ class TrainCalQLAgent(TrainSACAgent):
                 "reward_to_go": np.zeros((), np.float32),
             },
         )
-        self._pending: list[dict] = []  # transitions awaiting episode RTG
+        # per-env transitions awaiting their episode's MC reward-to-go
+        self._pending: list[list[dict]] = [[] for _ in range(self.n_envs)]
         self._jit_update = jax.jit(
             self._calql_update, static_argnames=("use_online",)
         )
@@ -73,8 +81,9 @@ class TrainCalQLAgent(TrainSACAgent):
             self.next_rng(), cond, example_action, init_temperature
         )
 
-    # transitions go to a host-side pending list until their episode's
-    # reward-to-go is known (iteration end)
+    # transitions pend per env until their episode ends, so the stored
+    # reward-to-go is the episode's Monte-Carlo return (reference parity:
+    # train_calql_agent.py:258-276 computes returns per completed episode)
     def _insert_transitions(
         self, prev_obs_venv, action_venv, obs_venv, reward_venv,
         terminated_venv, truncated_venv, info_venv,
@@ -83,43 +92,68 @@ class TrainCalQLAgent(TrainSACAgent):
         for i in range(self.n_envs):
             if truncated_venv[i] and "final_obs" in info_venv[i]:
                 next_state[i] = info_venv[i]["final_obs"]["state"]
-        self._pending.append(
+        for i in range(self.n_envs):
+            self._pending[i].append(
+                {
+                    "obs": prev_obs_venv["state"][i].copy(),
+                    "next_obs": next_state[i],
+                    "actions": action_venv[i].copy(),
+                    "rewards": np.float32(
+                        reward_venv[i] * self.scale_reward_factor
+                    ),
+                    "terminated": np.float32(terminated_venv[i]),
+                }
+            )
+            if terminated_venv[i] or truncated_venv[i]:
+                self._flush_env(i)
+
+    def _flush_env(self, i: int):
+        """Insert env i's pending episode with backward discounted MC
+        reward-to-go."""
+        ep = self._pending[i]
+        if not ep:
+            return
+        T = len(ep)
+        rewards = np.array([p["rewards"] for p in ep], np.float32)
+        terminated = np.array([p["terminated"] for p in ep], np.float32)
+        rtg = np.zeros(T, np.float32)
+        acc = np.float32(0.0)
+        for t in range(T - 1, -1, -1):
+            acc = rewards[t] + self.gamma * acc * (1.0 - terminated[t])
+            rtg[t] = acc
+        self.replay = self._jit_insert(
+            self.replay,
             {
-                "obs": prev_obs_venv["state"].copy(),
-                "next_obs": next_state,
-                "actions": action_venv.copy(),
-                "rewards": reward_venv * self.scale_reward_factor,
-                "terminated": terminated_venv.astype(np.float32),
-            }
+                "obs": jnp.asarray(
+                    np.stack([p["obs"] for p in ep]), jnp.float32
+                ),
+                "next_obs": jnp.asarray(
+                    np.stack([p["next_obs"] for p in ep]), jnp.float32
+                ),
+                "actions": jnp.asarray(
+                    np.stack([p["actions"] for p in ep]), jnp.float32
+                ),
+                "rewards": jnp.asarray(rewards),
+                "terminated": jnp.asarray(terminated),
+                "reward_to_go": jnp.asarray(rtg),
+            },
         )
+        self._pending[i] = []
 
     def _flush_pending(self):
-        """Compute per-env discounted reward-to-go over the pending window
-        and insert everything into the device replay."""
-        if not self._pending:
+        """Flush every env's pending (interrupted) episode as if truncated.
+        Called when envs are about to reset mid-episode (eval,
+        reset_at_iteration); completed episodes flush on their done flag."""
+        if not hasattr(self, "_pending"):  # reset during __init__
             return
-        S = len(self._pending)
-        rewards = np.stack([p["rewards"] for p in self._pending])  # (S, E)
-        rtg = np.zeros_like(rewards)
-        acc = np.zeros(rewards.shape[1], dtype=np.float32)
-        for t in range(S - 1, -1, -1):
-            acc = rewards[t] + self.gamma * acc * (
-                1.0 - self._pending[t]["terminated"]
-            )
-            rtg[t] = acc
-        for t, p in enumerate(self._pending):
-            self.replay = self._jit_insert(
-                self.replay,
-                {
-                    "obs": jnp.asarray(p["obs"], jnp.float32),
-                    "next_obs": jnp.asarray(p["next_obs"], jnp.float32),
-                    "actions": jnp.asarray(p["actions"], jnp.float32),
-                    "rewards": jnp.asarray(p["rewards"], jnp.float32),
-                    "terminated": jnp.asarray(p["terminated"]),
-                    "reward_to_go": jnp.asarray(rtg[t], jnp.float32),
-                },
-            )
-        self._pending = []
+        for i in range(self.n_envs):
+            self._flush_env(i)
+
+    def reset_env_all(self, verbose: bool = False, options_venv=None, **kwargs):
+        self._flush_pending()
+        return super().reset_env_all(
+            verbose=verbose, options_venv=options_venv, **kwargs
+        )
 
     def _mixed_batch(self, rng, replay: ReplayState, use_online):
         r_off, r_on = jax.random.split(rng)
@@ -216,7 +250,8 @@ class TrainCalQLAgent(TrainSACAgent):
         return self.itr > self.n_explore_steps
 
     def _do_updates(self) -> dict:
-        self._flush_pending()
+        # NOTE: no blanket flush here — transitions enter replay only when
+        # their episode completes (reference parity: per-episode MC returns)
         use_online = self.train_online and int(self.replay.size) > 0
         self.state, losses = self._jit_update(
             self.state, self.replay, self.next_rng(), use_online=use_online

@@ -32,13 +32,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from typing import NamedTuple
+
 from dppo_tpu.agents.device_fused import DeviceFusedMixin
 from dppo_tpu.agents.finetune_calql import TrainCalQLAgent
 from dppo_tpu.agents.finetune_ibrl import TrainIBRLAgent
 from dppo_tpu.agents.finetune_rlpd import TrainRLPDAgent
 from dppo_tpu.agents.finetune_sac import TrainSACAgent
 from dppo_tpu.envs.device.adapter import DeviceVectorEnv
-from dppo_tpu.utils.replay import replay_insert
+from dppo_tpu.utils.replay import replay_insert, replay_insert_masked
 from dppo_tpu.utils.timer import Timer
 
 log = logging.getLogger(__name__)
@@ -201,6 +203,18 @@ class TrainSACDeviceAgent(TrainSACAgent):
         )
         return pool_state, rewards, dones
 
+    # ----------------------------------------------------- rollout state
+    # The fused block's third carry slot is an opaque "rollout state" —
+    # the env pool state by default; subclasses that carry extra
+    # env-axis-aligned state across iterations (Cal-QL's pending-episode
+    # window) wrap it here and unpack inside their `_train_block`.
+    def _make_rollout_state(self, pool_state):
+        return pool_state
+
+    def _on_env_interrupt(self, roll):
+        """Called right before the envs are reset mid-stream (eval).
+        Subclasses flush episode-pending state here."""
+
     # -------------------------------------------------------------- run
     def _next_boundary(self) -> int:
         itr = self.itr
@@ -216,7 +230,7 @@ class TrainSACDeviceAgent(TrainSACAgent):
         timer = Timer()
         cnt_train_step = 0
         self.venv.reset_arg()
-        pool_state = self.venv.pool_state
+        roll = self._make_rollout_state(self.venv.pool_state)
         first0 = np.ones(self.n_envs)
         eval_chunks = max(
             1, -(-int(self.venv.pool.max_episode_steps) // self.act_steps)
@@ -229,6 +243,7 @@ class TrainSACDeviceAgent(TrainSACAgent):
             )
             if eval_mode:
                 # fresh episodes for eval, fresh again for the next block
+                self._on_env_interrupt(roll)
                 self.venv.reset_arg()
                 _, rewards, dones = jax.block_until_ready(
                     self._jit_eval(
@@ -245,7 +260,7 @@ class TrainSACDeviceAgent(TrainSACAgent):
                 stats = self._episode_stats(firsts, rewards)
                 self._log_iteration(True, stats, {}, cnt_train_step, timer)
                 self.venv.reset_arg()
-                pool_state = self.venv.pool_state
+                roll = self._make_rollout_state(self.venv.pool_state)
                 first0 = np.ones(self.n_envs)
                 self.itr += 1
                 continue
@@ -256,7 +271,7 @@ class TrainSACDeviceAgent(TrainSACAgent):
             (
                 self.state,
                 self.replay,
-                pool_state,
+                roll,
                 rewards,
                 dones,
                 diag,
@@ -264,7 +279,7 @@ class TrainSACDeviceAgent(TrainSACAgent):
                 self._jit_block(block, explore)(
                     self.state,
                     self.replay,
-                    pool_state,
+                    roll,
                     self.next_rng(),
                     jnp.asarray(self.itr, jnp.int32),
                 )
@@ -313,38 +328,140 @@ class TrainRLPDDeviceAgent(TrainSACDeviceAgent, TrainRLPDAgent):
         return state, loss_c, loss_a, d, d
 
 
+class CalQLPend(NamedTuple):
+    """Per-env pending-episode window: transitions of the CURRENT episode,
+    awaiting the episode's Monte-Carlo reward-to-go (known only at episode
+    end). Env-axis-aligned (leading axis E) so it shards with the pool
+    state. `count[e]` = valid rows in [0, C)."""
+
+    obs: jnp.ndarray  # (E, C, n_cond_step, obs_dim)
+    next_obs: jnp.ndarray  # (E, C, n_cond_step, obs_dim)
+    actions: jnp.ndarray  # (E, C, act_steps, action_dim)
+    rewards: jnp.ndarray  # (E, C)
+    terminated: jnp.ndarray  # (E, C)
+    count: jnp.ndarray  # (E,) int32
+
+
 class TrainCalQLDeviceAgent(TrainSACDeviceAgent, TrainCalQLAgent):
     """Cal-QL on the fused device block.
 
-    Host-loop parity (`finetune_calql.py`): each iteration runs `n_steps`
-    env macro-steps whose transitions pend until iteration end, when the
-    pending window's discounted reward-to-go is computed and everything is
-    flushed into replay, followed by `num_update` mixed offline/online
-    CQL-calibrated updates. Here the whole iteration is one scan step: the
-    n_steps rollout is an inner scan, the RTG backward pass and per-step
-    replay inserts are scans over the window, and `_calql_update` (the same
-    pure function the host jits) runs under `lax.cond` — so a block of
-    iterations is ONE XLA dispatch. `use_online` is static: inserts precede
-    the update inside each iteration, so whenever `train_online` is set the
-    online ring is non-empty by update time (the host's `size > 0` guard
-    exists only for its first-iteration ordering)."""
+    Host-loop parity (`finetune_calql.py`, reference
+    `train_calql_agent.py:258-276`): transitions pend per env until their
+    episode finishes, at which point the episode's discounted Monte-Carlo
+    reward-to-go is computed backward and the whole episode is flushed into
+    the online replay ring — so the stored `reward_to_go` used by the CQL
+    calibration bound max(Q, return) is a true per-episode MC return, not a
+    window-truncated fragment. The pending window is a device-resident
+    fixed-capacity pytree (`CalQLPend`, capacity = ceil(max_episode_steps /
+    act_steps) macro-steps) carried across iterations AND blocks in the
+    rollout-state slot; flushes are masked ring inserts
+    (`replay_insert_masked`) under traced row counts. Episodes interrupted
+    by an env reset (eval) are flushed as if truncated via
+    `_on_env_interrupt` — the reference drops them instead (it only
+    extends completed episodes); keeping the truncated-MC tail is a
+    strictly-more-data deviation, documented in PARITY.md.
+
+    Each block iteration = n_steps macro-steps (inner scan: env step →
+    pend append → masked flush where done) + `num_update` mixed
+    offline/online calibrated updates under `lax.cond`, gated strictly
+    AFTER the explore phase in online mode (host `_should_update` parity:
+    itr > n_explore_steps) and falling back to offline-only batches until
+    the first completed episode reaches the online ring (host `size > 0`
+    parity)."""
 
     def __init__(self, cfg):
         super().__init__(cfg)
         self.env_steps_per_block_iter = (
             self.n_envs * self.act_steps * self.n_steps
         )
+        # macro-step capacity of one episode under the MultiStep budget
+        self.ep_chunks = max(
+            1, -(-int(self.pool.max_episode_steps) // self.act_steps)
+        )
+        self._jit_flush_all = jax.jit(
+            lambda rp, pend: self._flush_rows(
+                rp, pend, jnp.ones((self.n_envs,), bool)
+            )
+        )
 
-    def _train_block(self, state, replay, pool_state, rng, itr0, block,
-                     explore):
+    # ----------------------------------------------------- pending window
+    def _fresh_pend(self) -> CalQLPend:
+        E, C = self.n_envs, self.ep_chunks
+        return CalQLPend(
+            obs=jnp.zeros((E, C, self.n_cond_step, self.obs_dim), jnp.float32),
+            next_obs=jnp.zeros(
+                (E, C, self.n_cond_step, self.obs_dim), jnp.float32
+            ),
+            actions=jnp.zeros(
+                (E, C, self.act_steps, self.action_dim), jnp.float32
+            ),
+            rewards=jnp.zeros((E, C), jnp.float32),
+            terminated=jnp.zeros((E, C), jnp.float32),
+            count=jnp.zeros((E,), jnp.int32),
+        )
+
+    def _make_rollout_state(self, pool_state):
+        return (pool_state, self._fresh_pend())
+
+    def _on_env_interrupt(self, roll):
+        _, pend = roll
+        self.replay = jax.block_until_ready(
+            self._jit_flush_all(self.replay, pend)
+        )
+
+    def _pend_rtg(self, pend: CalQLPend, valid: jnp.ndarray) -> jnp.ndarray:
+        """Backward discounted MC return over each env's valid prefix."""
+
+        def step(acc, x):
+            r_t, term_t, valid_t = x  # each (E,)
+            acc = jnp.where(
+                valid_t, r_t + self.gamma * acc * (1.0 - term_t), acc
+            )
+            return acc, acc
+
+        xs = (
+            pend.rewards.T[::-1],
+            pend.terminated.T[::-1],
+            valid.T[::-1],
+        )  # (C, E) reversed in time
+        _, rtg_rev = jax.lax.scan(step, jnp.zeros((self.n_envs,)), xs)
+        return rtg_rev[::-1].T  # (E, C)
+
+    def _flush_rows(self, replay, pend: CalQLPend, env_mask):
+        """Masked-insert the valid pending rows of the envs in `env_mask`
+        (their episodes just ended) with per-episode MC reward-to-go."""
+        C = self.ep_chunks
+        valid = jnp.arange(C)[None, :] < pend.count[:, None]  # (E, C)
+        rtg = self._pend_rtg(pend, valid)
+        mask = env_mask[:, None] & valid
+
+        def flat(x):
+            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+        batch = {
+            "obs": flat(pend.obs),
+            "next_obs": flat(pend.next_obs),
+            "actions": flat(pend.actions),
+            "rewards": flat(pend.rewards),
+            "terminated": flat(pend.terminated),
+            "reward_to_go": flat(rtg),
+        }
+        return replay_insert_masked(replay, batch, mask.reshape(-1))
+
+    # -------------------------------------------------------------- fused
+    def _train_block(self, state, replay, roll, rng, itr0, block, explore):
         model = self.model
         E = self.n_envs
+        C = self.ep_chunks
+        pool_state, pend = roll
 
         def iteration(carry, i):
-            state, replay, pool_state, rng = carry
+            state, replay, pool_state, pend, rng = carry
+            itr = itr0 + i
             rng, r_roll, r_upd = jax.random.split(rng, 3)
 
-            def env_step(pool_state, step_rng):
+            def env_step(c, step_rng):
+                pool_state, pend, replay = c
                 obs = {"state": pool_state.hist}
                 if explore:
                     actions = jax.random.uniform(
@@ -362,71 +479,71 @@ class TrainCalQLDeviceAgent(TrainSACDeviceAgent, TrainCalQLAgent):
                     out.truncated[:, None, None], out.final_obs, out.obs
                 )
                 done = out.terminated | out.truncated
-                ys = (
-                    obs["state"],
-                    next_state,
-                    actions,
-                    out.reward * self.scale_reward_factor,
-                    out.terminated.astype(jnp.float32),
+                e = jnp.arange(E)
+                row = jnp.minimum(pend.count, C - 1)
+                pend = CalQLPend(
+                    obs=pend.obs.at[e, row].set(obs["state"]),
+                    next_obs=pend.next_obs.at[e, row].set(next_state),
+                    actions=pend.actions.at[e, row].set(actions),
+                    rewards=pend.rewards.at[e, row].set(
+                        out.reward * self.scale_reward_factor
+                    ),
+                    terminated=pend.terminated.at[e, row].set(
+                        out.terminated.astype(jnp.float32)
+                    ),
+                    count=jnp.minimum(pend.count + 1, C),
+                )
+                replay = self._flush_rows(replay, pend, done)
+                pend = pend._replace(
+                    count=jnp.where(done, 0, pend.count)
+                )
+                return (pool_state, pend, replay), (
                     out.reward,
                     done.astype(jnp.float32),
                 )
-                return pool_state, ys
 
-            pool_state, (obs_w, next_w, act_w, rew_w, term_w, raw_rew, dones) = (
-                jax.lax.scan(
-                    env_step, pool_state, jax.random.split(r_roll, self.n_steps)
-                )
-            )
-
-            # pending-window reward-to-go (host parity: _flush_pending)
-            def rtg_step(acc, x):
-                r_t, term_t = x
-                acc = r_t + self.gamma * acc * (1.0 - term_t)
-                return acc, acc
-
-            _, rtg_rev = jax.lax.scan(
-                rtg_step, jnp.zeros((E,)), (rew_w[::-1], term_w[::-1])
-            )
-            rtg_w = rtg_rev[::-1]
-
-            def insert_step(replay, x):
-                o, n, a, r, t, g = x
-                return (
-                    replay_insert(
-                        replay,
-                        {
-                            "obs": o,
-                            "next_obs": n,
-                            "actions": a,
-                            "rewards": r,
-                            "terminated": t,
-                            "reward_to_go": g,
-                        },
-                    ),
-                    None,
-                )
-
-            replay, _ = jax.lax.scan(
-                insert_step, replay, (obs_w, next_w, act_w, rew_w, term_w, rtg_w)
+            (pool_state, pend, replay), (raw_rew, dones) = jax.lax.scan(
+                env_step,
+                (pool_state, pend, replay),
+                jax.random.split(r_roll, self.n_steps),
             )
 
             # host parity (_should_update): offline phase updates every
-            # iteration; online updates once past the explore phase
+            # iteration; online strictly AFTER the explore phase, on
+            # offline-only batches until the online ring is non-empty
             if explore and self.train_online:
                 losses = jnp.zeros((2,))
                 did = jnp.float32(0.0)
+            elif self.train_online:
+
+                def upd(s):
+                    return jax.lax.cond(
+                        replay.size > 0,
+                        lambda ss: self._calql_update(
+                            ss, replay, r_upd, use_online=True
+                        ),
+                        lambda ss: self._calql_update(
+                            ss, replay, r_upd, use_online=False
+                        ),
+                        s,
+                    )
+
+                do = itr > self.n_explore_steps
+                state, losses = jax.lax.cond(
+                    do, upd, lambda s: (s, jnp.zeros((2,))), state
+                )
+                did = do.astype(jnp.float32)
             else:
                 state, losses = self._calql_update(
-                    state, replay, r_upd, use_online=self.train_online
+                    state, replay, r_upd, use_online=False
                 )
                 did = jnp.float32(1.0)
             ys = (raw_rew, dones, losses[0], losses[1], did)
-            return (state, replay, pool_state, rng), ys
+            return (state, replay, pool_state, pend, rng), ys
 
-        (state, replay, pool_state, _), ys = jax.lax.scan(
+        (state, replay, pool_state, pend, _), ys = jax.lax.scan(
             iteration,
-            (state, replay, pool_state, rng),
+            (state, replay, pool_state, pend, rng),
             jnp.arange(block, dtype=jnp.int32),
         )
         rewards, dones, loss_c, loss_a, did = ys
@@ -443,7 +560,7 @@ class TrainCalQLDeviceAgent(TrainSACDeviceAgent, TrainCalQLAgent):
         return (
             state,
             replay,
-            pool_state,
+            (pool_state, pend),
             rewards.reshape(S, E),
             dones.reshape(S, E),
             diag,

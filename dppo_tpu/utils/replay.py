@@ -47,6 +47,33 @@ def replay_insert(state: ReplayState, batch: dict) -> ReplayState:
     )
 
 
+def replay_insert_masked(
+    state: ReplayState, batch: dict, mask: jnp.ndarray
+) -> ReplayState:
+    """Insert only the rows of `batch` where `mask` is True, preserving
+    their relative order, under a traced (data-dependent) row count.
+
+    Invalid rows are routed to index `capacity` and dropped by the scatter
+    (`mode="drop"`), so duplicate in-bounds indices never occur: each valid
+    row gets a distinct ring slot `(ptr + rank) % capacity` where `rank` is
+    its position among the valid rows. Precondition (same as
+    `replay_insert`): at most `capacity` valid rows per call.
+    """
+    capacity = next(iter(state.data.values())).shape[0]
+    m = mask.astype(jnp.int32)
+    n = m.sum()
+    rank = jnp.cumsum(m) - 1
+    idx = jnp.where(mask, (state.ptr + rank) % capacity, capacity)
+    data = {
+        k: state.data[k].at[idx].set(batch[k], mode="drop") for k in batch
+    }
+    return ReplayState(
+        data=data,
+        ptr=(state.ptr + n) % capacity,
+        size=jnp.minimum(state.size + n, capacity),
+    )
+
+
 def replay_sample_indices(rng, state: ReplayState, batch_size: int):
     return jax.random.randint(
         rng, (batch_size,), 0, jnp.maximum(state.size, 1), dtype=jnp.int32

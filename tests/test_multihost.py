@@ -375,20 +375,24 @@ def test_sharded_fused_calql_block_matches_single_device(tmp_path):
     )
     agent = get_class(cfg._target_)(cfg)
     agent.venv.reset_arg()
-    pool0 = agent.venv.pool_state
+    roll0 = agent._make_rollout_state(agent.venv.pool_state)
     key = jax.random.key(9)
 
     train = agent._jit_block(3, False)
     ref_st, ref_rp, _, ref_rew, ref_done, ref_diag = train(
-        agent.state, agent.replay, pool0, key, jnp.asarray(0, jnp.int32)
+        agent.state, agent.replay, roll0, key, jnp.asarray(0, jnp.int32)
     )
 
     mesh = make_mesh(8)
-    pool_sh = jax.tree_util.tree_map(lambda x: shard_axis(mesh, x, 0), pool0)
+    # env-axis-aligned rollout state (pool + pending-episode window) is
+    # sharded on the env axis; learner + replay + offline data replicated
+    roll_sh = jax.tree_util.tree_map(
+        lambda x: shard_axis(mesh, x, 0), roll0
+    )
     st_r = replicate(mesh, agent.state)
     rp_r = replicate(mesh, agent.replay)
     new_st, new_rp, _, rew, done, diag = train(
-        st_r, rp_r, pool_sh, key, jnp.asarray(0, jnp.int32)
+        st_r, rp_r, roll_sh, key, jnp.asarray(0, jnp.int32)
     )
 
     np.testing.assert_allclose(

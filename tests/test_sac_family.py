@@ -357,3 +357,76 @@ def test_calql_device_offline_phase(tmp_path):
     cfg["env"] = _device_env_cfg()
     cfg["offline_dataset"] = _offline_dataset(tmp_path, mc=True)
     _run(cfg)
+
+
+def test_replay_insert_masked():
+    """Masked ring insert: valid rows land contiguously from ptr in order,
+    invalid rows are dropped, ptr/size advance by the valid count only."""
+    from dppo_tpu.utils.replay import replay_init, replay_insert_masked
+
+    rp = replay_init(8, {"x": np.zeros((), np.float32)})
+    x = jnp.arange(6, dtype=jnp.float32)
+    mask = jnp.array([True, False, True, True, False, True])
+    rp = jax.jit(replay_insert_masked)(rp, {"x": x}, mask)
+    assert int(rp.size) == 4 and int(rp.ptr) == 4
+    np.testing.assert_array_equal(
+        np.asarray(rp.data["x"][:4]), [0.0, 2.0, 3.0, 5.0]
+    )
+    # wrap-around: 6 more valid rows from ptr=4 wrap to the front
+    x2 = jnp.arange(10, 17, dtype=jnp.float32)
+    mask2 = jnp.array([True, True, True, False, True, True, True])
+    rp = jax.jit(replay_insert_masked)(rp, {"x": x2}, mask2)
+    assert int(rp.size) == 8 and int(rp.ptr) == 2
+    np.testing.assert_array_equal(
+        np.asarray(rp.data["x"]),
+        [15.0, 16.0, 3.0, 5.0, 10.0, 11.0, 12.0, 14.0],
+    )
+
+
+def test_calql_device_episode_mc_rtg(tmp_path):
+    """The fused Cal-QL pending window stores TRUE per-episode Monte-Carlo
+    reward-to-go: every inserted row satisfies the backward recursion
+    rtg[t] = r[t] + gamma * rtg[t+1] within its episode, with episodes
+    flushed contiguously and ending at rtg = r (truncation/termination)."""
+    model = Config(
+        {
+            "_target_": "dppo.model.rl.gaussian_calql.CalQL_Gaussian",
+            "actor": _GAUSS_ACTOR,
+            "critic": _CRITIC_QA,
+            "horizon_steps": 2,
+            "tanh_output": True,
+            "cql_min_q_weight": 5.0,
+            "cql_n_actions": 3,
+            "network_path": None,
+        }
+    )
+    cfg = _base(
+        tmp_path,
+        "dppo_tpu.agents.finetune_sac_device.TrainCalQLDeviceAgent",
+        model,
+        _sac_train(
+            {
+                "train_online": True,
+                "n_random_actions": 3,
+                "num_update": 1,
+                "n_steps": 2,
+                "buffer_size": 4096,
+                **_device_train_extra(),
+            }
+        ),
+    )
+    cfg["env"] = _device_env_cfg()
+    cfg["offline_dataset"] = _offline_dataset(tmp_path, mc=True)
+    agent = _run(cfg)
+    n = int(agent.replay.size)
+    assert n > 0, "no episode completed -> nothing flushed"
+    gamma = agent.gamma
+    r = np.asarray(agent.replay.data["rewards"][:n])
+    g = np.asarray(agent.replay.data["reward_to_go"][:n])
+    for t in range(n):
+        end_of_episode = abs(g[t] - r[t]) < 1e-5
+        chained = t + 1 < n and abs(g[t] - (r[t] + gamma * g[t + 1])) < 1e-4
+        assert end_of_episode or chained, (
+            f"row {t}: rtg {g[t]} breaks the episode MC recursion "
+            f"(r={r[t]}, next rtg={g[t + 1] if t + 1 < n else None})"
+        )

@@ -1,6 +1,8 @@
 #!/bin/bash
-# HalfCheetah DPPO evidence run (60 iters, reference operating point).
+# HalfCheetah DPPO evidence run (reference operating point).
+# ITERS overrides the finetune iteration budget (default 250).
 set -e
+ITERS=${ITERS:-250}
 R=/root/repo/runs/halfcheetah
 mkdir -p $R
 cd /root/repo
@@ -18,5 +20,5 @@ python -m dppo_tpu.run --config cfg/gym/finetune/halfcheetah-v2/ft_ppo_diffusion
   logdir=$R/ft base_policy_path=$R/pre/checkpoint/state_200.pkl \
   normalization_path=$R/normalization.npz \
   env.backend=batched_mujoco \
-  train.n_train_itr=60 train.save_model_freq=50 train.val_freq=20
+  train.n_train_itr=$ITERS train.save_model_freq=25 train.val_freq=25
 echo CHEETAH_DONE

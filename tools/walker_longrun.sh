@@ -1,7 +1,9 @@
 #!/bin/bash
-# Walker2d DPPO evidence run: demos -> BC pretrain -> 100-iter finetune at
+# Walker2d DPPO evidence run: demos -> BC pretrain -> finetune at
 # the reference operating point (40 envs x 500 steps x act 4, K=20, ft 10).
+# ITERS overrides the finetune iteration budget (default 300).
 set -e
+ITERS=${ITERS:-300}
 R=/root/repo/runs/walker2d
 mkdir -p $R
 cd /root/repo
@@ -19,5 +21,5 @@ python -m dppo_tpu.run --config cfg/gym/finetune/walker2d-v2/ft_ppo_diffusion_ml
   logdir=$R/ft base_policy_path=$R/pre/checkpoint/state_200.pkl \
   normalization_path=$R/normalization.npz \
   env.backend=batched_mujoco \
-  train.n_train_itr=100 train.save_model_freq=50 train.val_freq=25
+  train.n_train_itr=$ITERS train.save_model_freq=25 train.val_freq=25
 echo WALKER_DONE
