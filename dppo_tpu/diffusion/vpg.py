@@ -85,13 +85,59 @@ class VPGDiffusion(DiffusionModel):
     # ---------- params ----------
     def init_vpg_params(self, rng, cond: dict) -> VPGParams:
         """Build (base, ft, critic, eta) trees; base/ft from the pretrain ckpt
-        when available (parity: diffusion_vpg.py:76-98)."""
+        when available (parity: diffusion_vpg.py:76-98).
+
+        Warm-start parity (diffusion_vpg.py:92-98): when `network_path`
+        points at a TRAINED RL checkpoint (no "ema" key — a finetune-agent
+        `{itr, model}` save whose model is a VPG params tree), the whole
+        state loads non-strict: actor, actor_ft, critic, and eta are taken
+        from the checkpoint where present, and fresh-initialized otherwise —
+        so a new finetune run recovers the previous run's critic instead of
+        re-learning it from scratch."""
         r_actor, r_critic, r_eta = jax.random.split(rng, 3)
-        actor_params = self.load_params(r_actor, cond=cond)
         critic_params = self.critic.init(r_critic, cond)
         eta_params = None
         if self.eta_module is not None:
             eta_params = self.eta_module.init(r_eta, cond)
+
+        if self.network_path is not None:
+            from dppo_tpu.utils.ckpt import load_checkpoint
+
+            data = load_checkpoint(self.network_path)
+            if "ema" not in data:  # trained RL checkpoint
+                tree = data.get("model")
+                if tree is None:
+                    raise ValueError(
+                        f"no model/ema key in {self.network_path}"
+                    )
+                fields = (
+                    tree._asdict() if hasattr(tree, "_asdict") else dict(tree)
+                )
+                if "actor" not in fields:
+                    raise ValueError(
+                        f"{self.network_path} has no 'ema' key but its "
+                        "'model' is not a VPG params tree (no 'actor'); "
+                        "cannot warm-start from it"
+                    )
+
+                def take(name, default):
+                    v = fields.get(name)
+                    if v is None:
+                        return default
+                    return jax.tree_util.tree_map(jnp.asarray, v)
+
+                actor = take("actor", None)
+                return VPGParams(
+                    actor=actor,
+                    actor_ft=take(
+                        "actor_ft",
+                        jax.tree_util.tree_map(jnp.copy, actor),
+                    ),
+                    critic=take("critic", critic_params),
+                    eta=take("eta", eta_params),
+                )
+
+        actor_params = self.load_params(r_actor, cond=cond)
         return VPGParams(
             actor=actor_params,
             actor_ft=jax.tree_util.tree_map(jnp.copy, actor_params),

@@ -249,3 +249,51 @@ def test_bf16_rejects_bad_dtype_and_fused():
     m16 = _make(sample_network_dtype="bfloat16")
     with pytest.raises(AssertionError, match="fp32"):
         FusedChainSampler(m16)
+
+
+def test_rl_checkpoint_warm_start(tmp_path):
+    """network_path at a trained RL checkpoint (no "ema" key): actor,
+    actor_ft, critic, eta load from the checkpoint instead of fresh init
+    (parity: diffusion_vpg.py:92-98 non-strict load_state_dict)."""
+    from dppo_tpu.utils.ckpt import save_checkpoint
+
+    model = _make()
+    params = model.init_vpg_params(jax.random.key(0), _cond())
+    # perturb so ckpt trees differ from any fresh init
+    trained = params._replace(
+        actor_ft=jax.tree_util.tree_map(lambda x: x + 1.0, params.actor_ft),
+        critic=jax.tree_util.tree_map(lambda x: x + 2.0, params.critic),
+    )
+    path = str(tmp_path / "state_7.pkl")
+    save_checkpoint(path, {"itr": 7, "model": trained})
+
+    model2 = _make(network_path=path)
+    loaded = model2.init_vpg_params(jax.random.key(5), _cond())
+    for name in ("actor", "actor_ft", "critic"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(getattr(trained, name)),
+            jax.tree_util.tree_leaves(getattr(loaded, name)),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # pretrain ckpt (has "ema") keeps the old behavior: critic fresh
+    save_checkpoint(
+        str(tmp_path / "pre.pkl"),
+        {"epoch": 1, "model": params.actor, "ema": trained.actor_ft},
+    )
+    model3 = _make(network_path=str(tmp_path / "pre.pkl"))
+    loaded3 = model3.init_vpg_params(jax.random.key(5), _cond())
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trained.actor_ft),
+        jax.tree_util.tree_leaves(loaded3.actor),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # RL ckpt whose model is not a VPG tree -> actionable error
+    save_checkpoint(str(tmp_path / "bad.pkl"), {"itr": 1, "model": {"x": 1}})
+    model4 = _make(network_path=str(tmp_path / "bad.pkl"))
+    try:
+        model4.init_vpg_params(jax.random.key(0), _cond())
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "warm-start" in str(e)
