@@ -39,6 +39,7 @@ import numpy as np
 import optax
 
 from dppo_tpu.agents.finetune_base import TrainPPOAgent, make_optimizer, set_lr
+from dppo_tpu.utils.chunk import chunked_apply
 from dppo_tpu.utils.profiling import PhaseTimer
 from dppo_tpu.utils.reward_scaling import RewardScalerState, scale_rewards
 from dppo_tpu.utils.scheduler import cosine_warmup_restarts
@@ -227,12 +228,21 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
         }
         chains_flat = chains_trajs.reshape(SE, *chains_trajs.shape[2:])
 
-        # --- critic values + old logprobs, full batch on device ---
-        values_flat = model.critic_value(state.params, obs_flat)  # (SE,)
+        # --- critic values + old logprobs, streamed in logprob_batch_size
+        # chunks (reference parity: train_ppo_agent.py:22-25,
+        # train_ppo_diffusion_agent.py:202-240) — a lax.scan over chunks
+        # bounds peak activation memory at the pixel operating points ---
+        def recompute(obs_c, chains_c):
+            v = model.critic_value(state.params, obs_c)
+            lp = model.get_logprobs(state.params, obs_c, chains_c).reshape(
+                -1, K_ft, model.horizon_steps, model.action_dim
+            )
+            return v, lp
+
+        values_flat, oldlogprobs = chunked_apply(
+            recompute, self.logprob_batch_size, obs_flat, chains_flat
+        )
         values_trajs = values_flat.reshape(S, E)
-        oldlogprobs = model.get_logprobs(
-            state.params, obs_flat, chains_flat
-        ).reshape(SE, K_ft, model.horizon_steps, model.action_dim)
         oldlogprobs = jax.lax.stop_gradient(oldlogprobs)
 
         # --- running reward scaling (parity: train_ppo_agent.py:80-85) ---

@@ -22,6 +22,7 @@ import optax
 
 from dppo_tpu.agents.finetune_base import TrainPPOAgent, set_lr
 from dppo_tpu.agents.finetune_ppo_diffusion import UpdateState
+from dppo_tpu.utils.chunk import chunked_apply
 from dppo_tpu.utils.reward_scaling import scale_rewards
 from dppo_tpu.utils.timer import Timer
 
@@ -82,9 +83,17 @@ class TrainPPOGaussianAgent(TrainPPOAgent):
         }
         samples_flat = samples_trajs.reshape(SE, *samples_trajs.shape[2:])
 
-        values_flat = model.critic_value(state.params, obs_flat)
+        # streamed in logprob_batch_size chunks (reference parity:
+        # train_ppo_agent.py:22-25) to bound peak activation memory
+        def recompute(obs_c, samples_c):
+            v = model.critic_value(state.params, obs_c)
+            lp, _, _ = model.get_logprobs(state.params, obs_c, samples_c)
+            return v, lp
+
+        values_flat, oldlogprobs = chunked_apply(
+            recompute, self.logprob_batch_size, obs_flat, samples_flat
+        )
         values_trajs = values_flat.reshape(S, E)
-        oldlogprobs, _, _ = model.get_logprobs(state.params, obs_flat, samples_flat)
         oldlogprobs = jax.lax.stop_gradient(oldlogprobs)
 
         if self.reward_scale_running:

@@ -9,14 +9,17 @@ from dppo_tpu.config import Config, get_class
 OBS, ACT, H, W = 5, 2, 32, 32
 
 
-def test_img_dppo_end_to_end(tmp_path):
+def img_cfg(tmp_path, n_envs=2, n_steps=4, img_h=H, img_w=W,
+            train_extra=None):
+    """Shared pixel-DPPO config factory (also used by
+    tests/test_chunked_recompute.py)."""
     backbone = Config(
         {
             "_target_": "dppo.model.common.vit.VitEncoder",
-            "obs_shape": [3, H, W],
+            "obs_shape": [3, img_h, img_w],
             "num_channel": 3,
-            "img_h": H,
-            "img_w": W,
+            "img_h": img_h,
+            "img_w": img_w,
             "cfg": Config(
                 {
                     "patch_size": 8,
@@ -56,7 +59,7 @@ def test_img_dppo_end_to_end(tmp_path):
             ),
             "env": Config(
                 {
-                    "n_envs": 2,
+                    "n_envs": n_envs,
                     "name": "dummy",
                     "env_type": "dummy",
                     "asynchronous": False,
@@ -69,8 +72,8 @@ def test_img_dppo_end_to_end(tmp_path):
                                 {
                                     "obs_dim": OBS,
                                     "action_dim": ACT,
-                                    "img_h": H,
-                                    "img_w": W,
+                                    "img_h": img_h,
+                                    "img_w": img_w,
                                 }
                             ),
                             "multi_step": Config(
@@ -88,7 +91,7 @@ def test_img_dppo_end_to_end(tmp_path):
                 {
                     "n_train_itr": 2,
                     "n_critic_warmup_itr": 0,
-                    "n_steps": 4,
+                    "n_steps": n_steps,
                     "gamma": 0.99,
                     "augment": True,
                     "grad_accumulate": 2,
@@ -157,6 +160,13 @@ def test_img_dppo_end_to_end(tmp_path):
             ),
         }
     )
+    for k, v in (train_extra or {}).items():
+        cfg["train"][k] = v
+    return cfg
+
+
+def test_img_dppo_end_to_end(tmp_path):
+    cfg = img_cfg(tmp_path)
     agent = get_class(cfg._target_)(cfg)
     agent.run()
     assert agent.itr == 2
