@@ -412,3 +412,95 @@ def test_sharded_fused_calql_block_matches_single_device(tmp_path):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("name", ["dql", "dipo", "idql", "qsm"])
+def test_sharded_fused_offpolicy_iteration_matches_single_device(
+    tmp_path, name
+):
+    """The fused off-policy diffusion iteration (rollout + replay inserts +
+    the algorithm's own update in one program, OffPolicyDeviceMixin): env
+    axis sharded over an 8-device mesh, learner + replay replicated ==
+    single-device. Covers DQL, DIPO (which writes improved actions back
+    into the replay ring), IDQL (expectile V + Q critics), and QSM."""
+    from dppo_tpu.config import Config, get_class
+    from tests.test_offpolicy import (
+        _CASES,
+        _DEVICE_TARGETS,
+        _base_train,
+        _device_env_cfg,
+        ACT,
+        OBS,
+    )
+
+    _, model_target, train_extra, model_nets = _CASES[name]
+    E = 16
+    cfg = Config(
+        {
+            "_target_": _DEVICE_TARGETS[name],
+            "logdir": str(tmp_path / "log"),
+            "seed": 0,
+            "obs_dim": OBS,
+            "action_dim": ACT,
+            "cond_steps": 1,
+            "horizon_steps": 2,
+            "act_steps": 2,
+            "wandb": None,
+            "env": _device_env_cfg(n_envs=E),
+            "train": _base_train(train_extra),
+            "model": Config(
+                {
+                    "_target_": model_target,
+                    "denoised_clip_value": 1.0,
+                    "randn_clip_value": 3,
+                    "min_sampling_denoising_std": 0.1,
+                    "network_path": None,
+                    "horizon_steps": 2,
+                    "obs_dim": OBS,
+                    "action_dim": ACT,
+                    "denoising_steps": 6,
+                    **model_nets,
+                }
+            ),
+        }
+    )
+    agent = get_class(cfg._target_)(cfg)
+    agent.venv.reset_arg()
+    pool0 = agent.venv.pool_state
+    key = jax.random.key(11)
+    itr = jnp.asarray(1, jnp.int32)
+
+    ref_st, ref_rp, _, ref_rew, ref_done, ref_losses = agent._jit_iteration(
+        agent.state, agent.replay, pool0, key, itr
+    )
+
+    mesh = make_mesh(8)
+    pool_sh = jax.tree_util.tree_map(lambda x: shard_axis(mesh, x, 0), pool0)
+    st_r = replicate(mesh, agent.state)
+    rp_r = replicate(mesh, agent.replay)
+    new_st, new_rp, _, rew, done, losses = agent._jit_iteration(
+        st_r, rp_r, pool_sh, key, itr
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(rew), np.asarray(ref_rew), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(done), np.asarray(ref_done))
+    assert int(new_rp.size) == int(ref_rp.size)
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(ref_losses), rtol=2e-4, atol=2e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_st.params),
+        jax.tree_util.tree_leaves(new_st.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
+    # DIPO rewrites replay actions in its update: ring contents must match
+    for k in ref_rp.data:
+        np.testing.assert_allclose(
+            np.asarray(new_rp.data[k]), np.asarray(ref_rp.data[k]),
+            rtol=2e-4, atol=2e-5,
+        )
