@@ -78,6 +78,15 @@ class DeviceFusedMixin:
         for Gaussian/GMM PPO)."""
         raise NotImplementedError
 
+    def _device_obs(self, hist):
+        """Policy observation dict from the pool's obs history. Tasks with
+        a `split_obs` (on-device pixel rendering) expose their modalities;
+        everything else sees the plain state history."""
+        task = self.pool.task
+        if hasattr(task, "split_obs"):
+            return task.split_obs(hist)
+        return {"state": hist}
+
     def _maybe_promote(self):
         """Post-iteration model annealing hook (DPPO ft-window promote).
         Default: nothing."""
@@ -95,7 +104,7 @@ class DeviceFusedMixin:
 
         def macro_step(carry, step_rng):
             pool_state = carry
-            obs = {"state": pool_state.hist}  # (E, To, Do)
+            obs = self._device_obs(pool_state.hist)  # {key: (E, To, ...)}
             actions, record = self._device_sample(
                 update_state.params, obs, step_rng, train
             )
@@ -104,7 +113,7 @@ class DeviceFusedMixin:
             )
             done = out.terminated | out.truncated
             ys = (
-                obs["state"],
+                obs,
                 record,
                 out.reward,
                 out.terminated.astype(jnp.float32),
@@ -127,10 +136,10 @@ class DeviceFusedMixin:
         firsts = jnp.concatenate(
             [first0[None].astype(jnp.float32), done_trajs[:-1]], axis=0
         )
-        final_obs = {"state": pool_state.hist}
+        final_obs = self._device_obs(pool_state.hist)
         new_update_state, diag = self._update(
             update_state,
-            {"state": obs_trajs},
+            obs_trajs,
             record_trajs,
             reward_trajs,
             term_trajs,

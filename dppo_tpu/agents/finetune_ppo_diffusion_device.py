@@ -27,6 +27,9 @@ import jax.numpy as jnp
 
 from dppo_tpu.agents.device_fused import DeviceFusedMixin
 from dppo_tpu.agents.finetune_ppo_diffusion import TrainPPODiffusionAgent
+from dppo_tpu.agents.finetune_ppo_diffusion_img import (
+    TrainPPOImgDiffusionAgent,
+)
 
 log = logging.getLogger(__name__)
 
@@ -65,3 +68,33 @@ class TrainPPODiffusionDeviceAgent(DeviceFusedMixin, TrainPPODiffusionAgent):
     def _save_device_checkpoint(self):
         self.save_model(self.update_state.params)
         self.save_full_state()
+
+
+class TrainPPOImgDiffusionDeviceAgent(
+    TrainPPODiffusionDeviceAgent, TrainPPOImgDiffusionAgent
+):
+    """Pixel DPPO, fully TPU-resident.
+
+    The reference's img agent (`train_ppo_diffusion_img_agent.py:36,357`)
+    requires a host simulator rendering frames across the host↔device
+    boundary every macro-step; here the env renders ON the chip
+    (`PendulumPixelsTask.split_obs` — pure-jnp rasterization from the
+    latent state history), so the whole iteration — n_steps of (render →
+    ViT + VisionDiffusionMLP denoising scan → env chunk-step) plus the
+    complete PPO update with buffer-level RandomShiftsAug, chunked
+    value/old-logprob recompute, and optax.MultiSteps gradient
+    accumulation — compiles into ONE XLA program. The vision machinery
+    (augment, grad-accum optimizer rebuild, shape_meta obs dims) is
+    inherited unchanged from the host img agent; the fused loop from
+    DeviceFusedMixin, whose `_device_obs` hook surfaces the rendered
+    {"rgb", "state"} dict."""
+
+
+class TrainPPOVisDiffusionDeviceAgent(
+    TrainPPOImgDiffusionDeviceAgent
+):
+    """Fork-parity visual-key generalization on the fused device path."""
+
+    def __init__(self, cfg):
+        self.visual_key = cfg.train.get("vis_key", "rgb")
+        super().__init__(cfg)

@@ -30,10 +30,11 @@ from dppo_tpu.envs.device.adapter import DeviceVectorEnv
 from dppo_tpu.envs.device.avoid import AvoidTask, collect_avoid_demos
 from dppo_tpu.envs.device.core import DevicePool, PoolState, StepOut
 from dppo_tpu.envs.device.linear import LinearTask
-from dppo_tpu.envs.device.pendulum import PendulumTask
+from dppo_tpu.envs.device.pendulum import PendulumPixelsTask, PendulumTask
 
 TASKS = {
     "pendulum": PendulumTask,
+    "pendulum_pixels": PendulumPixelsTask,
     "linear": LinearTask,
     "avoid": AvoidTask,
     "avoiding": AvoidTask,
@@ -61,6 +62,7 @@ __all__ = [
     "DevicePool",
     "DeviceVectorEnv",
     "LinearTask",
+    "PendulumPixelsTask",
     "PendulumTask",
     "PoolState",
     "StepOut",

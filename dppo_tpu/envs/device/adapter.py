@@ -80,7 +80,18 @@ class DeviceVectorEnv:
             self._seeds_dirty = False
         else:
             self.pool_state = self._jit_reset_all(self.pool_state.rng)
-        return {"state": np.asarray(self.pool_state.hist)}
+        return self._obs_np(self.pool_state.hist)
+
+    def _obs_np(self, hist) -> dict:
+        """Observation dict for the venv API: tasks with a `split_obs`
+        (on-device pixel rendering) expose their modalities, others the
+        plain state history."""
+        task = self.pool.task
+        if hasattr(task, "split_obs"):
+            return {
+                k: np.asarray(v) for k, v in task.split_obs(hist).items()
+            }
+        return {"state": np.asarray(hist)}
 
     def reset(self):
         return self.reset_arg()
@@ -88,7 +99,9 @@ class DeviceVectorEnv:
     def reset_one_arg(self, env_ind: int, options: Optional[dict] = None):
         mask = jnp.zeros((self.n_envs,), bool).at[env_ind].set(True)
         self.pool_state = self._jit_reset_where(self.pool_state, mask)
-        return {"state": np.asarray(self.pool_state.hist[env_ind])}
+        return {
+            k: v[env_ind] for k, v in self._obs_np(self.pool_state.hist).items()
+        }
 
     def step(self, actions: np.ndarray):
         if self._pending is not None:
@@ -110,15 +123,15 @@ class DeviceVectorEnv:
             raise RuntimeError("step_wait called without a pending step_async")
         self.pool_state, out = self._pending
         self._pending = None
-        obs = {"state": np.asarray(out.obs)}
+        obs = self._obs_np(out.obs)
         reward = np.asarray(out.reward)
         terminated = np.asarray(out.terminated)
         truncated = np.asarray(out.truncated)
         infos = [{} for _ in range(self.n_envs)]
         if self.pool.reset_within_step and truncated.any():
-            final = np.asarray(out.final_obs)
+            final = self._obs_np(out.final_obs)
             for i in np.nonzero(truncated)[0]:
-                infos[i]["final_obs"] = {"state": final[i]}
+                infos[i]["final_obs"] = {k: v[i] for k, v in final.items()}
         return obs, reward, terminated, truncated, infos
 
     def call_sync(self, name: str, *args, **kwargs):

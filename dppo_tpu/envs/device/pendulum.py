@@ -98,3 +98,77 @@ class PendulumTask:
             (-costs).astype(jnp.float32),
             jnp.asarray(False),
         )
+
+
+# ---------------------------------------------------------------- pixels
+def render_pendulum_rgb(cos_sin, img_h: int = 48, img_w: int = 48):
+    """Rasterize the pendulum on-device: an anti-aliased rod from the pivot
+    (image center) toward (sinθ, cosθ) — gymnasium's rendering convention,
+    θ=0 pointing up — plus a tip marker and a pivot dot, one per channel.
+
+    Pure jnp over arbitrary leading dims: cos_sin (..., 2) raw cosθ/sinθ
+    -> (..., 3, img_h, img_w) float32 in [0, 1]. This is the TPU-native
+    analog of the reference's host-side offscreen renderers (robomimic /
+    gym `render(mode="rgb_array")` feeding the img agents): the frame is a
+    deterministic pure function of the physical state, so pixels can be
+    (re)produced anywhere inside a jitted program instead of being stepped
+    across the host boundary.
+    """
+    c, s = cos_sin[..., 0], cos_sin[..., 1]
+    norm = jnp.sqrt(c * c + s * s) + 1e-8
+    c, s = c / norm, s / norm
+    tip_x, tip_y = 0.85 * s, 0.85 * c  # screen x right, y up
+    ys = jnp.linspace(1.0, -1.0, img_h)  # row 0 = top of frame
+    xs = jnp.linspace(-1.0, 1.0, img_w)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")  # (H, W)
+    tx = tip_x[..., None, None]
+    ty = tip_y[..., None, None]
+    # distance from each pixel to the segment [pivot, tip]
+    len2 = tx * tx + ty * ty
+    t = jnp.clip((gx * tx + gy * ty) / (len2 + 1e-8), 0.0, 1.0)
+    dx = gx - t * tx
+    dy = gy - t * ty
+    d = jnp.sqrt(dx * dx + dy * dy)
+    thick = 3.0 / img_h
+    rod = jnp.clip(1.0 - d / (2.0 * thick), 0.0, 1.0)
+    dt_ = jnp.sqrt((gx - tx) ** 2 + (gy - ty) ** 2)
+    tip = jnp.clip(1.0 - dt_ / (3.0 * thick), 0.0, 1.0)
+    dp = jnp.sqrt(gx * gx + gy * gy)
+    piv = jnp.broadcast_to(
+        jnp.clip(1.0 - dp / (2.0 * thick), 0.0, 1.0), rod.shape
+    )
+    return jnp.stack([rod, tip, piv], axis=-3).astype(jnp.float32)
+
+
+class PendulumPixelsTask(PendulumTask):
+    """Pendulum with PIXEL observations, rendered on-device.
+
+    The pool's latent obs stays the 3-dim normalized [cosθ, sinθ, θ̇]
+    vector; `split_obs` (consumed by `DeviceVectorEnv` and the fused
+    vision agents) renders the rgb frames from (cosθ, sinθ) and exposes
+    ONLY the angular velocity as the proprio "state" — the policy cannot
+    locate the rod without reading the pixels, so learning success is
+    evidence the vision stack (ViT encoder + VisionDiffusionMLP +
+    RandomShiftsAug) actually learns from images. Rendering is
+    recompute-over-storage: frames are regenerated from the latent history
+    wherever needed inside the fused program (rollout policy queries, the
+    chunked update recompute) rather than stepped across the host
+    boundary — there is no counterpart in the reference, whose img agents
+    require host simulators (`train_ppo_diffusion_img_agent.py:20`).
+    """
+
+    proprio_dim = 1  # normalized thdot
+
+    def __init__(self, img_h: int = 48, img_w: int = 48, **kwargs):
+        kwargs.pop("obs_dim", None)
+        kwargs.pop("action_dim", None)
+        super().__init__(**kwargs)
+        self.img_h, self.img_w = int(img_h), int(img_w)
+
+    def split_obs(self, hist: jnp.ndarray) -> dict:
+        """hist (..., To, 3) normalized -> {"rgb": (..., To, 3, H, W),
+        "state": (..., To, 1)}."""
+        lo, hi = self.obs_min[:2], self.obs_max[:2]
+        cs = lo + (hist[..., :2] + 1.0) * 0.5 * (hi - lo)
+        rgb = render_pendulum_rgb(cs, self.img_h, self.img_w)
+        return {"rgb": rgb, "state": hist[..., 2:]}

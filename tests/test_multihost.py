@@ -504,3 +504,51 @@ def test_sharded_fused_offpolicy_iteration_matches_single_device(
             np.asarray(new_rp.data[k]), np.asarray(ref_rp.data[k]),
             rtol=2e-4, atol=2e-5,
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_img_iteration_matches_single_device(tmp_path):
+    """The fully-fused PIXEL iteration (on-device rendering -> ViT policy
+    -> env step -> PPO update with RandomShiftsAug + grad accumulation +
+    chunked recompute, one program): env axis sharded over an 8-device
+    mesh == single-device. Every aug/bc rng draw is key+shape-determined,
+    so sharding must not change a single pixel of the result."""
+    from dppo_tpu.config import get_class
+    from tests.test_img_device import _pixel_cfg
+
+    E = 16
+    cfg = _pixel_cfg(tmp_path, n_envs=E, n_steps=3, n_itr=1)
+    agent = get_class(cfg._target_)(cfg)
+    agent.venv.reset_arg()
+    pool0 = agent.venv.pool_state
+    key = jax.random.key(3)
+    itr = jnp.asarray(0, jnp.int32)
+    first0 = jnp.ones((E,), jnp.float32)
+
+    ref_state, _, ref_rew, ref_done, ref_diag = agent._jit_iteration(
+        agent.update_state, pool0, first0, key, itr
+    )
+
+    mesh = make_mesh(8)
+    pool_sh = jax.tree_util.tree_map(lambda x: shard_axis(mesh, x, 0), pool0)
+    state_r = replicate(mesh, agent.update_state)
+    new_state, _, rew, done, diag = agent._jit_iteration(
+        state_r, pool_sh, first0, key, itr
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(rew), np.asarray(ref_rew), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(done), np.asarray(ref_done))
+    for k in ("pg_loss", "v_loss", "approx_kl"):
+        np.testing.assert_allclose(
+            float(diag[k]), float(ref_diag[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"diagnostic {k} diverged under sharding",
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.params.actor_ft),
+        jax.tree_util.tree_leaves(new_state.params.actor_ft),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
