@@ -11,10 +11,11 @@ posterior mean, noise injection — in a single `fori_loop`, writing the
 denoising chain as it goes.
 
 Supported network shape: DiffusionMLP with `residual_style=True`,
-`mlp_dims` of length 3 with equal widths (dim_list [in, W, W, W, out] —
-one two-layer pre-activation residual block), no layernorm, ReLU or Mish
-activation, optionally a cond MLP — exactly the reference's gym /
-robomimic / d3il state-policy architectures
+`mlp_dims` of any odd length 2n+1 with equal widths (n two-layer
+pre-activation residual blocks, stacked on a leading axis and unrolled
+statically inside the kernel), no layernorm, ReLU or Mish activation,
+optionally a cond MLP — the reference's gym / robomimic / d3il
+state-policy architectures at any depth
 (`cfg/gym/finetune/hopper-v2/ft_ppo_diffusion_mlp.yaml:91`). The per-step
 time embeddings (a function of the static timestep only), the cond-MLP
 state embedding (a function of the query's observation only, computed per
@@ -62,14 +63,18 @@ def _activation_fn(name: str):
 
 
 class PackedMLP(NamedTuple):
-    """Padded weight matrices of the flagship denoiser, plus layout info."""
+    """Padded weight matrices of the flagship denoiser, plus layout info.
+
+    Residual blocks are stacked on a leading axis so the kernel handles
+    ANY trunk depth (mlp_dims of odd length 2n+1 -> n pre-activation
+    residual blocks), not just the 3-layer flagship shape."""
 
     w0: jnp.ndarray  # (IN_P, W)  input dense (zero rows at padding)
     b0: jnp.ndarray  # (1, W)
-    wl1: jnp.ndarray  # (W, W)   residual block dense 1
-    bl1: jnp.ndarray  # (1, W)
-    wl2: jnp.ndarray  # (W, W)   residual block dense 2
-    bl2: jnp.ndarray  # (1, W)
+    wl1: jnp.ndarray  # (n_blocks, W, W)   residual block dense 1
+    bl1: jnp.ndarray  # (n_blocks, 1, W)
+    wl2: jnp.ndarray  # (n_blocks, W, W)   residual block dense 2
+    bl2: jnp.ndarray  # (n_blocks, 1, W)
     w3: jnp.ndarray  # (W, OUT_P) output dense (zero cols at padding)
     b3: jnp.ndarray  # (1, OUT_P)
 
@@ -83,18 +88,25 @@ def pack_diffusion_mlp(params, x_dim: int, time_dim: int, cond_dim: int):
     """
     p = params["params"]
     mlp = p["ResidualMLP_0"]
-    expected = {"Dense_0", "TwoLayerPreActivationResNetLinear_0", "Dense_1"}
-    if set(mlp.keys()) != expected:
+    prefix = "TwoLayerPreActivationResNetLinear_"
+    block_keys = sorted(
+        (k for k in mlp if k.startswith(prefix)),
+        key=lambda k: int(k[len(prefix):]),
+    )
+    expected = {"Dense_0", "Dense_1"} | set(block_keys)
+    if not block_keys or set(mlp.keys()) != expected:
         raise ValueError(
-            "fused chain kernel supports exactly one pre-activation residual "
-            "block without layernorm (mlp_dims of length 3, equal widths); "
+            "fused chain kernel supports pre-activation residual trunks "
+            "without layernorm (mlp_dims of odd length, equal widths); "
             f"got trunk submodules {sorted(mlp.keys())}"
         )
     w0_raw = mlp["Dense_0"]["kernel"]  # (in, W)
     b0 = mlp["Dense_0"]["bias"]
-    blk = mlp["TwoLayerPreActivationResNetLinear_0"]
-    wl1, bl1 = blk["Dense_0"]["kernel"], blk["Dense_0"]["bias"]
-    wl2, bl2 = blk["Dense_1"]["kernel"], blk["Dense_1"]["bias"]
+    blks = [mlp[k] for k in block_keys]
+    wl1 = jnp.stack([b["Dense_0"]["kernel"] for b in blks])  # (n, W, W)
+    bl1 = jnp.stack([b["Dense_0"]["bias"][None] for b in blks])  # (n, 1, W)
+    wl2 = jnp.stack([b["Dense_1"]["kernel"] for b in blks])
+    bl2 = jnp.stack([b["Dense_1"]["bias"][None] for b in blks])
     w3_raw = mlp["Dense_1"]["kernel"]  # (W, out)
     b3_raw = mlp["Dense_1"]["bias"]
 
@@ -111,9 +123,9 @@ def pack_diffusion_mlp(params, x_dim: int, time_dim: int, cond_dim: int):
         w0=w0,
         b0=b0[None],
         wl1=wl1,
-        bl1=bl1[None],
+        bl1=bl1,
         wl2=wl2,
-        bl2=bl2[None],
+        bl2=bl2,
         w3=w3,
         b3=b3,
     )
@@ -161,27 +173,29 @@ def _chain_kernel(
             inp, jnp.broadcast_to(temb_row, (Bp, time_dim)), (0, x_dim)
         )
 
-        # ResidualMLP: input Dense (no activation), then the pre-activation
-        # residual block x + l2(act(l1(act(x)))), then output Dense
         h = (
             jnp.dot(inp, w0_ref[:], preferred_element_type=jnp.float32)
             + b0_ref[:]
         )
-        t1 = (
-            jnp.dot(
-                act(h), wl1_ref[:],
-                preferred_element_type=jnp.float32,
+        # static (unrolled) loop over the stacked residual blocks:
+        # r <- r + l2(act(l1(act(r)))) per block, any trunk depth
+        r = h
+        for j in range(wl1_ref.shape[0]):
+            t1 = (
+                jnp.dot(
+                    act(r), wl1_ref[j],
+                    preferred_element_type=jnp.float32,
+                )
+                + bl1_ref[j]
             )
-            + bl1_ref[:]
-        )
-        t2 = (
-            jnp.dot(
-                act(t1), wl2_ref[:],
-                preferred_element_type=jnp.float32,
+            t2 = (
+                jnp.dot(
+                    act(t1), wl2_ref[j],
+                    preferred_element_type=jnp.float32,
+                )
+                + bl2_ref[j]
             )
-            + bl2_ref[:]
-        )
-        r = t2 + h
+            r = t2 + r
         eps = (
             jnp.dot(r, w3_ref[:], preferred_element_type=jnp.float32)
             + b3_ref[:]
@@ -250,21 +264,25 @@ def _chain_kernel_planes(
             jnp.dot(inp, w0_ref[:], preferred_element_type=jnp.float32)
             + b0_ref[:]
         )
-        t1 = (
-            jnp.dot(
-                act(h), wl1_ref[:],
-                preferred_element_type=jnp.float32,
+        # static (unrolled) loop over the stacked residual blocks:
+        # r <- r + l2(act(l1(act(r)))) per block, any trunk depth
+        r = h
+        for j in range(wl1_ref.shape[0]):
+            t1 = (
+                jnp.dot(
+                    act(r), wl1_ref[j],
+                    preferred_element_type=jnp.float32,
+                )
+                + bl1_ref[j]
             )
-            + bl1_ref[:]
-        )
-        t2 = (
-            jnp.dot(
-                act(t1), wl2_ref[:],
-                preferred_element_type=jnp.float32,
+            t2 = (
+                jnp.dot(
+                    act(t1), wl2_ref[j],
+                    preferred_element_type=jnp.float32,
+                )
+                + bl2_ref[j]
             )
-            + bl2_ref[:]
-        )
-        r = t2 + h
+            r = t2 + r
         eps = (
             jnp.dot(r, w3_ref[:], preferred_element_type=jnp.float32)
             + b3_ref[:]
@@ -310,6 +328,8 @@ def fused_chain_planes(
     Bp = _round_up(B, 8)
     IN_P = state_row.shape[1]
     OUT_P = packed.w3.shape[1]
+    W = packed.w0.shape[1]
+    NBLK = packed.wl1.shape[0]
     LANE_T = _round_up(time_dim, LANE)
 
     x0_p = jnp.zeros((Bp, OUT_P), jnp.float32).at[:B, :x_dim].set(x0)
@@ -347,9 +367,9 @@ def fused_chain_planes(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * K * Bp * (IN_P * 512 + 2 * 512 * 512 + 512 * OUT_P),
+            flops=2 * K * Bp * (IN_P * W + NBLK * 2 * W * W + W * OUT_P),
             bytes_accessed=(3 * K + 1) * Bp * OUT_P * 4
-            + 4 * (IN_P * 512 + 2 * 512 * 512 + 512 * OUT_P),
+            + 4 * (IN_P * W + NBLK * 2 * W * W + W * OUT_P),
             transcendentals=0,
         ),
     )(
@@ -390,6 +410,8 @@ def fused_ddpm_chain(
     Bp = _round_up(B, 8)
     IN_P = state_row.shape[1]
     OUT_P = packed.w3.shape[1]
+    W = packed.w0.shape[1]
+    NBLK = packed.wl1.shape[0]
     LANE_T = _round_up(time_dim, LANE)
 
     x0_p = jnp.zeros((Bp, OUT_P), jnp.float32).at[:B, :x_dim].set(x0)
@@ -423,9 +445,9 @@ def fused_ddpm_chain(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * K * Bp * (IN_P * 512 + 2 * 512 * 512 + 512 * OUT_P),
+            flops=2 * K * Bp * (IN_P * W + NBLK * 2 * W * W + W * OUT_P),
             bytes_accessed=(K + 1) * Bp * OUT_P * 4
-            + 4 * (IN_P * 512 + 2 * 512 * 512 + 512 * OUT_P),
+            + 4 * (IN_P * W + NBLK * 2 * W * W + W * OUT_P),
             transcendentals=0,
         ),
     )(
@@ -497,9 +519,9 @@ class FusedChainSampler:
             "fused chain kernel requires residual_style=True, use_layernorm=False"
         )
         dims = list(net.mlp_dims)
-        assert len(dims) == 3 and len(set(dims)) == 1, (
-            f"fused chain kernel supports one residual block of equal widths "
-            f"(mlp_dims like [W, W, W]); got {dims}"
+        assert len(dims) >= 3 and len(dims) % 2 == 1 and len(set(dims)) == 1, (
+            f"fused chain kernel supports residual trunks of equal widths "
+            f"(mlp_dims of odd length, like [W]*3 or [W]*5); got {dims}"
         )
         _activation_fn(net.activation_type)  # raises on unsupported
         assert net.out_activation_type == "Identity", (

@@ -191,10 +191,58 @@ def test_fused_rejects_unsupported_network():
     construction — never silently compute the wrong function."""
     with pytest.raises(AssertionError):
         FusedChainSampler(_model(use_layernorm=True))
+    with pytest.raises(Exception):
+        # even-length trunk: ResidualMLP itself rejects it at init
+        m = _model(mlp_dims=[32, 32])
+        m.init_vpg_params(
+            jax.random.key(0),
+            {"state": jnp.zeros((2, 1, Do), jnp.float32)},
+        )
+        FusedChainSampler(m)
     with pytest.raises(AssertionError):
-        FusedChainSampler(_model(mlp_dims=[32, 32, 32, 32, 32]))  # 2 blocks
+        FusedChainSampler(_model(mlp_dims=[32, 48, 32]))  # unequal widths
     with pytest.raises(ValueError):
         FusedChainSampler(_model(activation="GELU"))
+
+
+@pytest.mark.parametrize("depth", [5, 7])
+def test_fused_chain_matches_scan_deeper_trunks(depth):
+    """Arbitrary-depth residual trunks (mlp_dims [W]*5, [W]*7 -> 2, 3
+    stacked residual blocks unrolled inside the kernel) stay bit-exact
+    against the scan sampler."""
+    model = _model(ft=4, mlp_dims=[48] * depth)
+    cond = {"state": jax.random.normal(jax.random.key(0), (B, 1, Do))}
+    params = model.init_vpg_params(jax.random.key(1), cond)
+    params = params._replace(
+        actor_ft=jax.tree_util.tree_map(lambda x: x * 1.1, params.actor_ft)
+    )
+    sampler = FusedChainSampler(model)
+    rng = jax.random.key(2)
+    rng_x, rng_n = jax.random.split(rng)
+    x0 = jax.random.normal(rng_x, (B, Ta * Da))
+    noise = jnp.clip(jax.random.normal(rng_n, (K, B, Ta * Da)), -3, 3)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = sampler(params, cond, rng, deterministic=False)
+
+    ref_chain = _reference_chain_with_noise(
+        model, params, cond,
+        x0.reshape(B, Ta, Da),
+        noise.reshape(K, B, Ta, Da),
+        False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.trajectories),
+        np.asarray(ref_chain[-1]),
+        rtol=2e-4,
+        atol=2e-5,
+    )
+    expected_rec = jnp.swapaxes(ref_chain[K - 4 :], 0, 1)
+    np.testing.assert_allclose(
+        np.asarray(out.chains), np.asarray(expected_rec), rtol=2e-4, atol=2e-5
+    )
 
 
 @pytest.mark.parametrize(
