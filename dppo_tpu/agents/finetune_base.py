@@ -93,6 +93,8 @@ class TrainAgent(BaseAgent):
             n_workers=cfg.env.get("n_workers"),
             use_shm=bool(cfg.env.get("use_shm", False)),
             backend=cfg.env.get("backend", "process"),
+            device_task=cfg.env.get("device_task"),
+            device_task_kwargs=cfg.env.get("device_task_kwargs"),
             **(cfg.env.get("specific") or {}),
         )
         if env_type != "furniture":

@@ -150,3 +150,66 @@ def collect_gym_demos(
         action_max=act_max,
     )
     return path
+
+
+def collect_pendulum_pixel_demos(
+    path: str,
+    n_episodes: int = 25,
+    max_steps: int = 200,
+    img_h: int = 48,
+    img_w: int = 48,
+    seed: int = 0,
+) -> str:
+    """Random-walk pendulum demos for the PIXEL task: the npz carries the
+    rendered frames (`images`, float32 [0,1], the same pure-jnp rasterizer
+    the device env uses — `envs/device/pendulum.py render_pendulum_rgb`)
+    plus the proprio `states` (normalized angular velocity ONLY, matching
+    `PendulumPixelsTask.split_obs`) and canonically normalized `actions`.
+    Feeds the img pretrain pipeline
+    (cfg/gym/pretrain/pendulum-v1/pre_diffusion_mlp_img.yaml)."""
+    import gymnasium
+    import jax.numpy as jnp
+
+    from dppo_tpu.envs.device.pendulum import render_pendulum_rgb
+
+    env = gymnasium.make("Pendulum-v1")
+    rng = np.random.default_rng(seed)
+    max_speed, max_torque = 8.0, 2.0
+    states, actions, images, lengths = [], [], [], []
+    for ep in range(n_episodes):
+        obs, _ = env.reset(seed=seed + ep)
+        ep_s, ep_a, ep_i = [], [], []
+        prev_a = np.zeros((1,), np.float32)
+        for _ in range(max_steps):
+            a = np.clip(
+                0.8 * prev_a + 0.4 * rng.standard_normal((1,)), -1, 1
+            ).astype(np.float32)
+            cos, sin, thdot = np.asarray(obs, np.float32)
+            ep_s.append(np.asarray([thdot / max_speed], np.float32))
+            ep_i.append(
+                np.asarray(
+                    render_pendulum_rgb(
+                        jnp.asarray([cos, sin]), img_h, img_w
+                    ),
+                    np.float32,
+                )
+            )
+            ep_a.append(a)  # already in [-1, 1] (canonical torque norm)
+            obs, _, term, trunc, _ = env.step(a * max_torque)
+            prev_a = a
+            if term or trunc:
+                break
+        states.append(np.stack(ep_s))
+        actions.append(np.stack(ep_a))
+        images.append(np.stack(ep_i))
+        lengths.append(len(ep_s))
+    env.close()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(
+        path,
+        states=np.concatenate(states),
+        actions=np.concatenate(actions),
+        images=np.concatenate(images),
+        traj_lengths=np.asarray(lengths),
+    )
+    return path

@@ -185,7 +185,7 @@ def make_async(
         )
         task_kwargs.setdefault("obs_dim", obs_dim)
         task_kwargs.setdefault("action_dim", action_dim)
-        task_name = kwargs.pop("device_task", env_name)
+        task_name = kwargs.pop("device_task", None) or env_name
         task = make_device_task(task_name, **task_kwargs)
         return DeviceVectorEnv(
             task,
