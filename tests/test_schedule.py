@@ -78,3 +78,41 @@ def test_extract_broadcast():
     out = extract(tab, t, 3)
     assert out.shape == (3, 1, 1)
     np.testing.assert_allclose(np.asarray(out).ravel(), [0, 3, 9])
+
+
+def test_cosine_warmup_restarts_cycle_mult_golden():
+    """cycle_mult != 1 matches a python replica of the reference's
+    epoch-indexed closed form (util/scheduler.py:113-128): cycle n starts
+    at first*(m^n - 1)/(m - 1), is first*m^n long, max lr decays by
+    gamma**n, warmup ramps from min_lr inside each cycle."""
+    import math
+
+    import numpy as np
+
+    from dppo_tpu.utils.scheduler import cosine_warmup_restarts
+
+    max_lr, min_lr, first, warm, gamma, m = 1e-3, 1e-5, 10, 3, 0.9, 2.0
+
+    def reference(epoch):
+        if epoch >= first:
+            n = int(math.log(epoch / first * (m - 1) + 1, m))
+            cycle_start = int(first * (m**n - 1) / (m - 1))
+            step_in_cycle = epoch - cycle_start
+            cur = first * m**n
+        else:
+            n, step_in_cycle, cur = 0, epoch, first
+        cur_max = max_lr * gamma**n
+        if step_in_cycle < warm:
+            return (cur_max - min_lr) * step_in_cycle / warm + min_lr
+        return min_lr + (cur_max - min_lr) * (
+            1 + math.cos(math.pi * (step_in_cycle - warm) / (cur - warm))
+        ) / 2
+
+    sched = cosine_warmup_restarts(
+        max_lr, min_lr, first, warm, gamma=gamma, cycle_mult=m
+    )
+    for step in range(0, 160):
+        np.testing.assert_allclose(
+            float(sched(step)), reference(step), rtol=1e-5, atol=1e-9,
+            err_msg=f"step {step}",
+        )
