@@ -114,8 +114,11 @@ class EvalAgent(BaseAgent):
             )
         act_fn = jax.jit(self._act)
         for step in range(self.n_steps):
+            # all observation modalities go into the condition (img eval
+            # parity: eval_diffusion_img_agent feeds rgb alongside state)
             cond = {
-                "state": jnp.asarray(prev_obs_venv["state"], jnp.float32)
+                k: jnp.asarray(v, jnp.float32)
+                for k, v in prev_obs_venv.items()
             }
             output_venv = np.asarray(act_fn(params, cond, self.next_rng()))
             action_venv = output_venv[:, : self.act_steps]

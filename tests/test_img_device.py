@@ -245,3 +245,46 @@ def test_img_device_dppo_end_to_end(tmp_path):
     assert agent.itr == 3
     leaves = jax.tree_util.tree_leaves(agent.update_state.params.actor_ft)
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+def test_img_device_eval_agent(tmp_path):
+    """EvalImgDiffusionAgent drives the pixel device env through the venv
+    adapter: all obs modalities (rgb + proprio) reach the policy cond."""
+    cfg = _pixel_cfg(tmp_path, n_envs=2, n_steps=2, n_itr=1)
+    agent = get_class(cfg._target_)(cfg)
+    agent.run()
+    ckpt = str(tmp_path / "log" / "checkpoint" / "state_0.pkl")
+
+    from dppo_tpu.config import load_config
+    import os
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ecfg = load_config(
+        os.path.join(
+            REPO, "cfg/gym/eval/pendulum-v1/eval_diffusion_mlp_img.yaml"
+        ),
+        overrides=[
+            f"logdir={tmp_path}/eval",
+            f"base_policy_path={ckpt}",
+            "env.n_envs=2",
+            "env.max_episode_steps=4",
+            "img_h=24",
+            "img_w=24",
+            "n_steps=2",
+            "horizon_steps=2",
+            "act_steps=2",
+            "denoising_steps=4",
+            "ft_denoising_steps=2",
+            "model.network.mlp_dims=[32, 32, 32]",
+            "model.network.time_dim=8",
+            "model.network.spatial_emb=16",
+            "model.network.backbone.cfg.embed_dim=32",
+            "model.network.backbone.cfg.num_heads=2",
+            "wandb=null",
+        ],
+    )
+    eagent = get_class(ecfg._target_)(ecfg)
+    eagent.run()
+    import os.path as osp
+
+    assert osp.exists(osp.join(str(tmp_path / "eval"), "result.npz"))
