@@ -179,7 +179,7 @@ class TrainAWRDiffusionAgent(TrainAgent):
             sub_i, sub_l = jax.random.split(sub)
             inds = valid_base + jax.random.randint(sub_i, (bs,), 0, n_valid)
             adv_b = advantages[inds]
-            adv_b = (adv_b - adv_b.mean()) / (adv_b.std() + 1e-6)
+            adv_b = (adv_b - adv_b.mean()) / (adv_b.std(ddof=1) + 1e-6)
             weights = jnp.minimum(
                 jnp.exp(self.beta * adv_b), self.max_adv_weight
             )

@@ -454,6 +454,15 @@ class TrainPPODiffusionAgent(TrainPPOAgent):
             var_y > 0, 1.0 - jnp.var(returns_flat - values_flat) / var_y, jnp.nan
         )
         diag = {
+            # optimization-health diagnostics (round-4 addition): raw
+            # (pre-normalization) advantage spread and scaled-return variance
+            # expose the "homogeneous behavior -> no learning signal" failure
+            # mode that plain pg_loss/approx_kl cannot distinguish from health
+            "adv_mean": advantages_flat.mean(),
+            "adv_std": advantages_flat.std(),
+            "return_var_scaled": var_y,
+        }
+        diag |= {
             "pg_loss": metrics[last_idx, 0],
             "entropy_loss": metrics[last_idx, 1],
             "v_loss": metrics[last_idx, 2],

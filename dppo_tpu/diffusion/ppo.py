@@ -98,8 +98,11 @@ class PPODiffusion(VPGDiffusion):
             bc_loss = -jnp.mean(bc_logprobs)
 
         if self.norm_adv:
+            # ddof=1: torch Tensor.std() is Bessel-corrected; keeping jnp's
+            # default ddof=0 skews pg_loss by sqrt(B/(B-1)) vs the reference
+            # (caught by tests/test_reference_parity.py)
             advantages = (advantages - advantages.mean()) / (
-                advantages.std() + 1e-8
+                advantages.std(ddof=1) + 1e-8
             )
         adv_min = jnp.quantile(
             advantages, float(self.clip_advantage_lower_quantile)

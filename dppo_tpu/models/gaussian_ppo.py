@@ -68,7 +68,7 @@ class PPOGaussian(VPGGaussian):
         )
         if self.norm_adv:
             advantages = (advantages - advantages.mean()) / (
-                advantages.std() + 1e-8
+                advantages.std(ddof=1) + 1e-8
             )
         pg_loss1 = -advantages * ratio
         pg_loss2 = -advantages * jnp.clip(
