@@ -95,6 +95,7 @@ class TrainAgent(BaseAgent):
             backend=cfg.env.get("backend", "process"),
             device_task=cfg.env.get("device_task"),
             device_task_kwargs=cfg.env.get("device_task_kwargs"),
+            fake_sim=bool(cfg.env.get("fake_sim", False)),
             **(cfg.env.get("specific") or {}),
         )
         if env_type != "furniture":

@@ -38,6 +38,7 @@ class EnvFactory:
         shape_meta: Optional[dict] = None,
         use_image_obs: bool = False,
         render_offscreen: bool = False,
+        fake_sim: bool = False,
         **kwargs,
     ):
         from dppo_tpu.config import to_container
@@ -54,6 +55,11 @@ class EnvFactory:
         self.shape_meta = to_container(shape_meta)
         self.use_image_obs = use_image_obs
         self.render_offscreen = render_offscreen
+        # env.fake_sim=true: substitute the deterministic fake-sim doubles
+        # (envs/fake_sim.py) for the gated robomimic/D3IL simulators so the
+        # full wrapper chain executes without them (reference dummy_env_fn
+        # pattern, env/gym_utils/__init__.py:23-40)
+        self.fake_sim = bool(fake_sim)
 
     def __call__(self):
         wrappers = self.wrappers
@@ -68,26 +74,36 @@ class EnvFactory:
         elif self.env_type == "robomimic" or "robomimic_lowdim" in wrappers or (
             "robomimic_image" in wrappers
         ):
-            import json
-
-            import robomimic.utils.env_utils as EnvUtils  # gated
-
-            with open(self.robomimic_env_cfg_path) as f:
-                env_meta = json.load(f)
-            raw = EnvUtils.create_env_from_metadata(
-                env_meta=env_meta,
-                render=False,
-                render_offscreen=self.render_offscreen,
-                use_image_obs=self.use_image_obs,
-            )
-            raw.env.hard_reset = False
             key = (
                 "robomimic_image" if "robomimic_image" in wrappers
                 else "robomimic_lowdim"
             )
+            if self.fake_sim:
+                from dppo_tpu.envs.fake_sim import FakeRobosuiteEnv
+
+                raw = FakeRobosuiteEnv(action_dim=self.action_dim)
+            else:
+                import json
+
+                import robomimic.utils.env_utils as EnvUtils  # gated
+
+                with open(self.robomimic_env_cfg_path) as f:
+                    env_meta = json.load(f)
+                raw = EnvUtils.create_env_from_metadata(
+                    env_meta=env_meta,
+                    render=False,
+                    render_offscreen=self.render_offscreen,
+                    use_image_obs=self.use_image_obs,
+                )
+                raw.env.hard_reset = False
             env = get_wrapper(key)(
                 raw, shape_meta=self.shape_meta, **wrappers[key]
             )
+        elif "d3il_lowdim" in wrappers and self.fake_sim:
+            from dppo_tpu.envs.fake_sim import FakeD3ilEnv
+
+            raw = FakeD3ilEnv(obs_dim=self.obs_dim, action_dim=self.action_dim)
+            env = get_wrapper("d3il_lowdim")(raw, **wrappers["d3il_lowdim"])
         else:
             import gymnasium
 
@@ -197,6 +213,26 @@ def make_async(
         )
     if env_type == "furniture":
         # GPU-batched IsaacGym branch (parity: env/gym_utils/__init__.py:73-108)
+        if kwargs.get("fake_sim"):
+            from dppo_tpu.envs.fake_sim import FakeFurnitureEnv
+            from dppo_tpu.envs.wrappers.furniture import (
+                FurnitureRLSimEnvMultiStepWrapper,
+            )
+
+            env = FakeFurnitureEnv(
+                num_envs=num_envs, action_dim=action_dim
+            )
+            return FurnitureRLSimEnvMultiStepWrapper(
+                env,
+                n_obs_steps=kwargs.get("obs_steps", 1),
+                n_action_steps=kwargs.get("act_steps", 1),
+                max_episode_steps=max_episode_steps,
+                prev_action=False,
+                reset_within_step=False,
+                pass_full_observations=False,
+                normalization_path=kwargs.get("normalization_path"),
+                sparse_reward=kwargs.get("sparse_reward", False),
+            )
         try:
             from furniture_bench.envs.furniture_rl_sim_env import (
                 FurnitureRLSimEnv,

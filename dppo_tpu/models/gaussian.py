@@ -67,11 +67,14 @@ class GaussianModel:
 
     # ---------- BC loss ----------
     def loss(self, params, true_action, cond, ent_coef: float = 0.0):
+        # per-ELEMENT means, not per-sample sums: torch D.Normal.log_prob /
+        # .entropy() are elementwise and the reference means over (B, D)
+        # (gaussian.py:60-65; pinned by tests/test_reference_parity_more.py)
         B = true_action.shape[0]
         mean, scale = self.forward_train(params, cond, deterministic=False)
         flat = true_action.reshape(B, -1)
-        nll = -normal_logprob(flat, mean, scale).sum(-1)
-        entropy = normal_entropy(scale).sum(-1).mean()
+        nll = -normal_logprob(flat, mean, scale)
+        entropy = normal_entropy(scale).mean()
         return nll.mean() - entropy * ent_coef, {"entropy": entropy}
 
     # ---------- sampling ----------

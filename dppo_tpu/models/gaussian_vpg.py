@@ -64,7 +64,8 @@ class VPGGaussian(GaussianModel):
         actor = params.actor if use_base_policy else params.actor_ft
         mean, scale = self.forward_train(actor, cond, deterministic=False)
         logprob = normal_logprob(actions.reshape(B, -1), mean, scale).mean(-1)
-        entropy = normal_entropy(scale).sum(-1).mean()
+        # per-element mean (torch dist.entropy().mean(), gaussian_vpg.py:64)
+        entropy = normal_entropy(scale).mean()
         std = scale.mean()
         return logprob, entropy, std
 

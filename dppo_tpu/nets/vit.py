@@ -78,13 +78,15 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(
             MultiHeadAttention(self.embed_dim, self.num_head)(h)
         )
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.Dense(4 * self.embed_dim, kernel_init=trunc02)(h)
-        h = nn.gelu(h)
+        # exact (erf) gelu: torch F.gelu's default, used by the reference
+        # (vit.py:148); jax defaults to the tanh approximation
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.embed_dim, kernel_init=trunc02)(h)
         return x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
 
@@ -159,7 +161,7 @@ class MinVitEncoder(nn.Module):
         x = x + pos
         for _ in range(self.depth):
             x = TransformerLayer(self.embed_dim, self.num_heads)(x)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         if flatten:
             x = x.reshape(x.shape[0], -1)
         return x

