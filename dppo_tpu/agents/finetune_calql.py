@@ -30,6 +30,7 @@ from dppo_tpu.utils.replay import (
     ReplayState,
     replay_init,
     replay_insert,
+    replay_insert_masked,
     replay_sample_indices,
 )
 
@@ -72,6 +73,14 @@ class TrainCalQLAgent(TrainSACAgent):
         )
         # per-env transitions awaiting their episode's MC reward-to-go
         self._pending: list[list[dict]] = [[] for _ in range(self.n_envs)]
+        # episodes flush as FIXED-shape masked inserts (capacity = the
+        # episode's macro-step budget) so interrupted flushes and early
+        # terminations reuse ONE compiled insert instead of tracing a fresh
+        # program per distinct episode length (advisor r3)
+        self._ep_cap = max(
+            1, -(-int(self.max_episode_steps) // self.act_steps)
+        )
+        self._jit_insert_masked = jax.jit(replay_insert_masked)
         self._jit_update = jax.jit(
             self._calql_update, static_argnames=("use_online",)
         )
@@ -121,22 +130,29 @@ class TrainCalQLAgent(TrainSACAgent):
         for t in range(T - 1, -1, -1):
             acc = rewards[t] + self.gamma * acc * (1.0 - terminated[t])
             rtg[t] = acc
-        self.replay = self._jit_insert(
+        # fixed-shape masked insert: one compiled program for every episode
+        # length (see __init__)
+        C = self._ep_cap
+        assert T <= C, f"episode of {T} macro-steps exceeds budget {C}"
+
+        def pad(x):
+            out = np.zeros((C,) + x.shape[1:], np.float32)
+            out[:T] = x
+            return jnp.asarray(out)
+
+        mask = np.zeros((C,), bool)
+        mask[:T] = True
+        self.replay = self._jit_insert_masked(
             self.replay,
             {
-                "obs": jnp.asarray(
-                    np.stack([p["obs"] for p in ep]), jnp.float32
-                ),
-                "next_obs": jnp.asarray(
-                    np.stack([p["next_obs"] for p in ep]), jnp.float32
-                ),
-                "actions": jnp.asarray(
-                    np.stack([p["actions"] for p in ep]), jnp.float32
-                ),
-                "rewards": jnp.asarray(rewards),
-                "terminated": jnp.asarray(terminated),
-                "reward_to_go": jnp.asarray(rtg),
+                "obs": pad(np.stack([p["obs"] for p in ep])),
+                "next_obs": pad(np.stack([p["next_obs"] for p in ep])),
+                "actions": pad(np.stack([p["actions"] for p in ep])),
+                "rewards": pad(rewards),
+                "terminated": pad(terminated),
+                "reward_to_go": pad(rtg),
             },
+            jnp.asarray(mask),
         )
         self._pending[i] = []
 

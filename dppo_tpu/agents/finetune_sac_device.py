@@ -378,6 +378,20 @@ class TrainCalQLDeviceAgent(TrainSACDeviceAgent, TrainCalQLAgent):
         self.ep_chunks = max(
             1, -(-int(self.pool.max_episode_steps) // self.act_steps)
         )
+        # the pending window writes row min(count, C-1): an episode longer
+        # than ep_chunks macro-steps would silently overwrite its last
+        # transition and corrupt the MC reward-to-go. The device pool
+        # truncates every episode at max_episode_steps env-steps
+        # (envs/device/core.py budget bookkeeping), which fits the window
+        # by construction — enforce that invariant here so a pool/task
+        # that stops truncating fails loudly instead.
+        assert self.ep_chunks * self.act_steps >= int(
+            self.pool.max_episode_steps
+        ), (
+            "CalQL pending window smaller than the episode budget: "
+            f"{self.ep_chunks} chunks x {self.act_steps} act_steps < "
+            f"{self.pool.max_episode_steps} max_episode_steps"
+        )
         self._jit_flush_all = jax.jit(
             lambda rp, pend: self._flush_rows(
                 rp, pend, jnp.ones((self.n_envs,), bool)

@@ -213,3 +213,66 @@ def collect_pendulum_pixel_demos(
         traj_lengths=np.asarray(lengths),
     )
     return path
+
+def collect_pendulum_point_demos(
+    path: str,
+    n_episodes: int = 25,
+    max_steps: int = 200,
+    n_rod: int = 24,
+    n_pad: int = 8,
+    seed: int = 0,
+) -> str:
+    """Random-walk pendulum demos for the POINT-CLOUD task: the npz carries
+    per-step clouds (`points`, float32 (T, 1, L, 3) — one frame of rod
+    points with zero back-padding, the same pure-jnp sampler the device env
+    uses, `envs/device/pendulum.py sample_pendulum_points`) plus the
+    proprio `states` (normalized angular velocity ONLY, matching
+    `PendulumPointsTask.split_obs`) and canonically normalized `actions`.
+    Feeds the point pretrain pipeline (use_point datasets,
+    `data/sequence.py:92`)."""
+    import gymnasium
+    import jax.numpy as jnp
+
+    from dppo_tpu.envs.device.pendulum import sample_pendulum_points
+
+    env = gymnasium.make("Pendulum-v1")
+    rng = np.random.default_rng(seed)
+    max_speed, max_torque = 8.0, 2.0
+    states, actions, points, lengths = [], [], [], []
+    for ep in range(n_episodes):
+        obs, _ = env.reset(seed=seed + ep)
+        ep_s, ep_a, ep_p = [], [], []
+        prev_a = np.zeros((1,), np.float32)
+        for _ in range(max_steps):
+            a = np.clip(
+                0.8 * prev_a + 0.4 * rng.standard_normal((1,)), -1, 1
+            ).astype(np.float32)
+            cos, sin, thdot = np.asarray(obs, np.float32)
+            ep_s.append(np.asarray([thdot / max_speed], np.float32))
+            ep_p.append(
+                np.asarray(
+                    sample_pendulum_points(
+                        jnp.asarray([cos, sin]), n_rod, n_pad
+                    ),
+                    np.float32,
+                )[None]  # (1, L, 3) single frame
+            )
+            ep_a.append(a)
+            obs, _, term, trunc, _ = env.step(a * max_torque)
+            prev_a = a
+            if term or trunc:
+                break
+        states.append(np.stack(ep_s))
+        actions.append(np.stack(ep_a))
+        points.append(np.stack(ep_p))
+        lengths.append(len(ep_s))
+    env.close()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(
+        path,
+        states=np.concatenate(states),
+        actions=np.concatenate(actions),
+        points=np.concatenate(points),
+        traj_lengths=np.asarray(lengths),
+    )
+    return path

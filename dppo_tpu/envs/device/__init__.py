@@ -30,11 +30,16 @@ from dppo_tpu.envs.device.adapter import DeviceVectorEnv
 from dppo_tpu.envs.device.avoid import AvoidTask, collect_avoid_demos
 from dppo_tpu.envs.device.core import DevicePool, PoolState, StepOut
 from dppo_tpu.envs.device.linear import LinearTask
-from dppo_tpu.envs.device.pendulum import PendulumPixelsTask, PendulumTask
+from dppo_tpu.envs.device.pendulum import (
+    PendulumPixelsTask,
+    PendulumPointsTask,
+    PendulumTask,
+)
 
 TASKS = {
     "pendulum": PendulumTask,
     "pendulum_pixels": PendulumPixelsTask,
+    "pendulum_points": PendulumPointsTask,
     "linear": LinearTask,
     "avoid": AvoidTask,
     "avoiding": AvoidTask,

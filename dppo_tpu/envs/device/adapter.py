@@ -99,9 +99,10 @@ class DeviceVectorEnv:
     def reset_one_arg(self, env_ind: int, options: Optional[dict] = None):
         mask = jnp.zeros((self.n_envs,), bool).at[env_ind].set(True)
         self.pool_state = self._jit_reset_where(self.pool_state, mask)
-        return {
-            k: v[env_ind] for k, v in self._obs_np(self.pool_state.hist).items()
-        }
+        # slice to the one env BEFORE building the obs dict — split_obs on
+        # pixel tasks rasterizes frames for every env it is given
+        one = self._obs_np(self.pool_state.hist[env_ind : env_ind + 1])
+        return {k: v[0] for k, v in one.items()}
 
     def step(self, actions: np.ndarray):
         if self._pending is not None:

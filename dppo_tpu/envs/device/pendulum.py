@@ -149,12 +149,13 @@ class PendulumPixelsTask(PendulumTask):
     ONLY the angular velocity as the proprio "state" — the policy cannot
     locate the rod without reading the pixels, so learning success is
     evidence the vision stack (ViT encoder + VisionDiffusionMLP +
-    RandomShiftsAug) actually learns from images. Rendering is
-    recompute-over-storage: frames are regenerated from the latent history
-    wherever needed inside the fused program (rollout policy queries, the
-    chunked update recompute) rather than stepped across the host
-    boundary — there is no counterpart in the reference, whose img agents
-    require host simulators (`train_ppo_diffusion_img_agent.py:20`).
+    RandomShiftsAug) actually learns from images. Frames are rendered
+    once per macro-step inside the fused program (the rollout scan stores
+    them in the iteration's obs buffer, which the update then consumes) —
+    the win over the reference is that no frame ever crosses the host
+    boundary, not recompute-over-storage; the reference's img agents
+    require host simulators streaming pixels host->device every macro-step
+    (`train_ppo_diffusion_img_agent.py:20`).
     """
 
     proprio_dim = 1  # normalized thdot
@@ -172,3 +173,62 @@ class PendulumPixelsTask(PendulumTask):
         cs = lo + (hist[..., :2] + 1.0) * 0.5 * (hi - lo)
         rgb = render_pendulum_rgb(cs, self.img_h, self.img_w)
         return {"rgb": rgb, "state": hist[..., 2:]}
+
+
+# ------------------------------------------------------------- point cloud
+def sample_pendulum_points(
+    cos_sin, n_rod: int = 24, n_pad: int = 8
+):
+    """Point-cloud "scan" of the pendulum rod, on-device: `n_rod` points at
+    fixed fractions along the segment pivot->tip in 3D (x = t·sinθ,
+    y = t·cosθ, z = 0.1·t — a slight out-of-plane lift so the cloud is not
+    degenerate for 3D encoders), back-padded with `n_pad` all-zero rows
+    (the PointEncoder convention for variable-size clouds,
+    `nets/point_encoder.py valid_mask`). Pure jnp over arbitrary leading
+    dims: cos_sin (..., 2) -> (..., n_rod + n_pad, 3) float32. The
+    TPU-native analog of a depth-camera point cloud feeding the fork's
+    point pathway (`train_ppo_diffusion_vis_agent.py:26-27`)."""
+    c, s = cos_sin[..., 0], cos_sin[..., 1]
+    norm = jnp.sqrt(c * c + s * s) + 1e-8
+    c, s = c / norm, s / norm
+    t = jnp.linspace(1.0 / n_rod, 1.0, n_rod)  # never exactly the pivot
+    x = t * s[..., None]
+    y = t * c[..., None]
+    z = 0.1 * t * jnp.ones_like(x)
+    rod = jnp.stack([x, y, z], axis=-1)  # (..., n_rod, 3)
+    pad = jnp.zeros(rod.shape[:-2] + (n_pad, 3), rod.dtype)
+    return jnp.concatenate([rod, pad], axis=-2).astype(jnp.float32)
+
+
+class PendulumPointsTask(PendulumTask):
+    """Pendulum with POINT-CLOUD observations, sampled on-device.
+
+    The fork-parity vehicle for the point pathway
+    (`TrainPPOVisDiffusionAgent(vis_key="point")` + PointUnet1D +
+    PointCritic, reference `train_ppo_diffusion_vis_agent.py:26-27`,
+    `unet.py:621`, `critic.py:209`): `split_obs` emits
+    {"point": (..., To, 1, L, 3), "state": (..., To, 1)} — one frame of L
+    rod points (zero back-padding included, exercising the encoders' masked
+    pooling) and the normalized angular velocity as proprio. As with the
+    pixels task, the rod's angle is only observable through the cloud.
+    """
+
+    proprio_dim = 1  # normalized thdot
+
+    def __init__(self, n_rod: int = 24, n_pad: int = 8, **kwargs):
+        kwargs.pop("obs_dim", None)
+        kwargs.pop("action_dim", None)
+        super().__init__(**kwargs)
+        self.n_rod, self.n_pad = int(n_rod), int(n_pad)
+
+    @property
+    def n_points(self) -> int:
+        return self.n_rod + self.n_pad
+
+    def split_obs(self, hist: jnp.ndarray) -> dict:
+        """hist (..., To, 3) normalized -> {"point": (..., To, 1, L, 3),
+        "state": (..., To, 1)}."""
+        lo, hi = self.obs_min[:2], self.obs_max[:2]
+        cs = lo + (hist[..., :2] + 1.0) * 0.5 * (hi - lo)
+        pts = sample_pendulum_points(cs, self.n_rod, self.n_pad)
+        return {"point": pts[..., None, :, :], "state": hist[..., 2:]}

@@ -143,11 +143,17 @@ class ViTCritic(nn.Module):
 
 
 class PointCritic(nn.Module):
-    """Point-cloud encoder + proprio V(s) (fork-added, `critic.py:209-236`)."""
+    """Point-cloud encoder + proprio V(s) (fork-added, `critic.py:209-236`).
 
-    encoder: nn.Module
+    `backbone` matches the reference constructor arg name (critic.py:214);
+    cond["point"] is (B, To, F, L, D) and the last `pnt_cond_steps` history
+    entries feed the encoder as its (b, t, f, l, d) input (the encoder's
+    n_step must equal pnt_cond_steps)."""
+
+    backbone: nn.Module
     cond_dim: int
     mlp_dims: Sequence[int]
+    pnt_cond_steps: int = 1
     activation_type: str = "Mish"
     use_layernorm: bool = False
     residual_style: bool = False
@@ -158,7 +164,8 @@ class PointCritic(nn.Module):
         B = state.shape[0]
         state = state.reshape(B, -1)
         point = cond["point"]
-        feat = self.encoder(point.reshape((B,) + point.shape[-3:]))
+        point = point.reshape((B,) + point.shape[-4:])  # (B, To, F, L, D)
+        feat = self.backbone(point[:, -self.pnt_cond_steps :])
         feat = jnp.concatenate([feat, state], axis=-1)
         model = ResidualMLP if self.residual_style else MLP
         return model(

@@ -244,9 +244,11 @@ class VisionUnet1D(nn.Module):
 
 class PointUnet1D(nn.Module):
     """Point-cloud encoder feeding the U-Net condition (fork-added,
-    `unet.py:621`)."""
+    `unet.py:621`; `backbone` matches the reference constructor arg name).
+    cond["point"] is (B, To, F, L, D), fed whole to the encoder (whose
+    n_step must equal the obs-history length To)."""
 
-    encoder: nn.Module
+    backbone: nn.Module
     action_dim: int
     cond_dim: Optional[int] = None
     diffusion_step_embed_dim: int = 32
@@ -265,7 +267,8 @@ class PointUnet1D(nn.Module):
         B = x.shape[0]
         state = cond["state"].reshape(B, -1)
         point = cond["point"]
-        feat = self.encoder(point, aug_rng=aug_rng)
+        point = point.reshape((B,) + point.shape[-4:])  # (B, To, F, L, D)
+        feat = self.backbone(point, aug_rng=aug_rng)
         full_state = jnp.concatenate([feat, state], axis=-1)
         inner = Unet1D(
             action_dim=self.action_dim,

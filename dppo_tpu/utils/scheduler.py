@@ -11,6 +11,15 @@ the remainder of the cycle; cycles repeat with max lr scaled by
 the reference's epoch-indexed closed form (`util/scheduler.py:113-128`:
 cycle n starts at first*(m^n - 1)/(m - 1) and is first*m^n long; no
 shipped reference config uses it, but the knob is honored).
+
+Caveat (advisor r3): the reference scheduler has TWO inconsistent
+cycle_mult branches. Its training loops call no-arg `step()`, whose
+incremental recurrence grows cycles as cur=(cur-warmup)*mult+warmup
+(`util/scheduler.py:106-115`) — that diverges from the epoch-indexed
+closed form above whenever warmup_steps > 0. This module implements the
+closed form; with cycle_mult == 1 (every shipped config) the two agree
+exactly (pinned against the real torch scheduler's no-arg step() path in
+tests/test_reference_parity_more.py::TestUtilParity).
 """
 
 from __future__ import annotations
