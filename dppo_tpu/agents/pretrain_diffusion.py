@@ -95,7 +95,19 @@ class TrainDiffusionAgent(BaseAgent):
         self._epoch_step = jax.jit(self._epoch_step_impl, static_argnames=("do_ema_reset",))
 
     # ---- one full epoch as a single XLA program ----
-    def _epoch_step_impl(self, state: PretrainState, rng, do_ema_reset: bool):
+    def _epoch_step_impl(
+        self, state: PretrainState, rng, do_ema_reset: bool, data=None
+    ):
+        # `data` threads the dataset's bulk arrays through jit as REAL
+        # arguments: traced here, swapped in for the gathers, restored
+        # after. Closing over them instead inlines hundreds of MB of pixel
+        # data into the compile payload (axon tunnel rejects with HTTP 413).
+        if data is not None:
+            saved = self.dataset.swap_arrays(data)
+            try:
+                return self._epoch_step_impl(state, rng, do_ema_reset)
+            finally:
+                self.dataset.swap_arrays(saved)
         n = len(self.dataset)
         perm_rng, loss_rng = jax.random.split(rng)
         perm = jax.random.permutation(perm_rng, n)
@@ -171,7 +183,10 @@ class TrainDiffusionAgent(BaseAgent):
         for epoch in range(1, self.n_epochs + 1):
             rng = self.next_rng()
             self.state, loss_train = self._epoch_step(
-                self.state, rng, do_ema_reset=epoch < self.epoch_start_ema
+                self.state,
+                rng,
+                do_ema_reset=epoch < self.epoch_start_ema,
+                data=self.dataset.arrays(),
             )
             loss_val = None
             if self.val_indices is not None and epoch % self.val_freq == 0:

@@ -33,7 +33,17 @@ class TrainGaussianAgent(TrainDiffusionAgent):
         loss, _ = self.model.loss(params, actions, cond, self.ent_coef)
         return loss
 
-    def _epoch_step_impl(self, state: PretrainState, rng, do_ema_reset: bool):
+    def _epoch_step_impl(
+        self, state: PretrainState, rng, do_ema_reset: bool, data=None
+    ):
+        # see TrainDiffusionAgent._epoch_step_impl: thread bulk dataset
+        # arrays through jit instead of closing over them
+        if data is not None:
+            saved = self.dataset.swap_arrays(data)
+            try:
+                return self._epoch_step_impl(state, rng, do_ema_reset)
+            finally:
+                self.dataset.swap_arrays(saved)
         n = len(self.dataset)
         perm_rng, loss_rng = jax.random.split(rng)
         perm = jax.random.permutation(perm_rng, n)

@@ -109,6 +109,27 @@ class StitchedSequenceDataset:
     def __len__(self):
         return int(self.starts.shape[0])
 
+    # ---- bulk-array access for jit-argument threading ----
+    # closing a jitted epoch over the dataset arrays inlines them into the
+    # serialized HLO (hundreds of MB for pixel datasets — the axon tunnel
+    # rejects such compile payloads with HTTP 413). Callers thread
+    # `arrays()` through jit as a real argument and `swap_arrays` the
+    # tracers in during tracing (agents/pretrain_diffusion.py).
+    _BULK_FIELDS = ("states", "actions", "images", "points")
+
+    def arrays(self) -> dict:
+        return {
+            k: getattr(self, k)
+            for k in self._BULK_FIELDS
+            if hasattr(self, k)
+        }
+
+    def swap_arrays(self, data: dict) -> dict:
+        saved = {k: getattr(self, k) for k in data}
+        for k, v in data.items():
+            setattr(self, k, v)
+        return saved
+
     # ---- pure, jittable batch gather ----
     def _cond_state_indices(self, s, nb):
         """Global indices of the stacked obs history (edge-padded at episode

@@ -116,6 +116,7 @@ class BatchedMujocoLocomotionEnv:
         reset_within_step: bool = True,
         nthread: Optional[int] = None,
         disable_warmstart: bool = False,
+        record_states: bool = False,
     ):
         import mujoco
 
@@ -168,6 +169,13 @@ class BatchedMujocoLocomotionEnv:
         self._pool = ThreadPoolExecutor(max_workers=1)
         self._pending = None
         self._warned_video = False
+        # opt-in replay recording: per-env executed FULLPHYSICS states at
+        # env-step granularity, rendered post-hoc by envs/replay.py (the
+        # offline counterpart of the process backend's live video writer)
+        self.record_states = bool(record_states)
+        self._recorded: list[list[np.ndarray]] = [
+            [] for _ in range(self.n_envs)
+        ]
 
     # ------------------------------------------------------------- helpers
     def _normalize_obs(self, raw: np.ndarray) -> np.ndarray:
@@ -267,8 +275,24 @@ class BatchedMujocoLocomotionEnv:
             f"batched_mujoco backend has no per-env method {name!r}"
         )
 
+    def pop_recorded_states(self) -> list:
+        """Per-env executed state trajectories recorded since the last call:
+        a list of (T_i, nstate) FULLPHYSICS arrays ([time, qpos, qvel]),
+        ready for `dppo_tpu.envs.replay.render_mujoco_replay`. Requires
+        `record_states=True`."""
+        out = [
+            np.concatenate(ep, axis=0) if ep else np.zeros((0, self._nstate))
+            for ep in self._recorded
+        ]
+        self._recorded = [[] for _ in range(self.n_envs)]
+        return out
+
     def render(self):
-        raise NotImplementedError("batched_mujoco backend does not render")
+        raise NotImplementedError(
+            "batched_mujoco backend has no live render; use "
+            "record_states=True + dppo_tpu.envs.replay.render_mujoco_replay "
+            "for offline video"
+        )
 
     def close(self):
         self._pool.shutdown(wait=False)
@@ -339,6 +363,10 @@ class BatchedMujocoLocomotionEnv:
         block_mask = np.arange(S)[None, :] < executed[:, None]
         reward = np.sum(r_block * block_mask, axis=1).astype(np.float32)
         self._cnt += executed
+
+        if self.record_states:
+            for i in range(N):
+                self._recorded[i].append(bound[i, : executed[i]].copy())
 
         # advance physics state to the last executed block
         last = executed - 1
