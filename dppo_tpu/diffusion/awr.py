@@ -2,6 +2,13 @@
 
 Parity with `model/diffusion/diffusion_awr.py` (AWRDiffusion:14):
 RWR actor loss + a TD(λ)-target critic MSE (`loss_critic:28`).
+
+Documented deviation: the reference's agent passes a (B,) TD target against
+its critic's (B, 1) output (`train_awr_diffusion_agent.py:265`), which
+torch silently broadcasts into a (B, B) pairwise MSE — a degenerate
+objective whose minimizer is the batch-mean target. Here predictions pair
+with their own targets (tests/test_reference_parity_unet.py pins both the
+agreement under matched shapes and the reference quirk itself).
 """
 
 from __future__ import annotations
