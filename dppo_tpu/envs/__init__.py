@@ -96,9 +96,12 @@ class EnvFactory:
                     use_image_obs=self.use_image_obs,
                 )
                 raw.env.hard_reset = False
-            env = get_wrapper(key)(
-                raw, shape_meta=self.shape_meta, **wrappers[key]
-            )
+            # the img wrapper cfg may carry its own shape_meta interpolation
+            # (reference schema, ft_ppo_diffusion_mlp_img.yaml:46) — let it
+            # win over the top-level one rather than passing a duplicate
+            wkw = dict(wrappers[key])
+            wkw.setdefault("shape_meta", self.shape_meta)
+            env = get_wrapper(key)(raw, **wkw)
         elif "d3il_lowdim" in wrappers and self.fake_sim:
             from dppo_tpu.envs.fake_sim import FakeD3ilEnv
 

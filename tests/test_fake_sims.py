@@ -396,3 +396,61 @@ class TestAgentSmokeOnFakeRobomimic:
         agent = get_class(cfg._target_)(cfg)
         agent.run()
         assert os.path.exists(os.path.join(str(tmp_path), "ft", "result.pkl"))
+
+    def test_img_agent_runs_on_fake_robomimic_image(self, tmp_path):
+        """The shipped robomimic IMG finetune config (96x96 ViT + grad
+        accumulation + RandomShiftsAug) drives TrainPPOImgDiffusionAgent on
+        the fake sim through the robomimic_image wrapper chain."""
+        import numpy as np
+
+        from dppo_tpu.config import get_class, load_config
+
+        # 9-dim proprio normalization (img family drops the object key)
+        norm = tmp_path / "norm.npz"
+        np.savez(
+            norm,
+            obs_min=np.full(9, -2.0, np.float32),
+            obs_max=np.full(9, 2.0, np.float32),
+            action_min=np.full(7, -2.0, np.float32),
+            action_max=np.full(7, 2.0, np.float32),
+        )
+        cfg = load_config(
+            "cfg/robomimic/finetune/can/ft_ppo_diffusion_mlp_img.yaml",
+            overrides=[
+                f"logdir={tmp_path}/ft_img",
+                "base_policy_path=null",
+                f"normalization_path={norm}",
+                "env.n_envs=2",
+                "env.fake_sim=true",
+                "env.max_episode_steps=8",
+                "shape_meta.obs.rgb.shape=[3, 48, 48]",
+                "denoising_steps=4",
+                "ft_denoising_steps=2",
+                "model.denoising_steps=4",
+                "model.ft_denoising_steps=2",
+                "model.use_ddim=false",
+                "model.network_path=null",
+                "model.actor.mlp_dims=[32, 32, 32]",
+                "model.actor.time_dim=8",
+                "model.actor.spatial_emb=16",
+                "model.actor.backbone.cfg.embed_dim=16",
+                "model.critic.mlp_dims=[16, 16, 16]",
+                "model.critic.spatial_emb=16",
+                "model.critic.backbone.cfg.embed_dim=16",
+                "train.n_train_itr=2",
+                "train.grad_accumulate=2",
+                "train.actor_lr_scheduler.warmup_steps=0",
+                "train.critic_lr_scheduler.warmup_steps=0",
+                "train.n_steps=3",
+                "train.batch_size=8",
+                "train.logprob_batch_size=8",
+                "train.val_freq=3",
+                "train.save_model_freq=3",
+                "train.n_critic_warmup_itr=0",
+            ],
+        )
+        agent = get_class(cfg._target_)(cfg)
+        agent.run()
+        assert os.path.exists(
+            os.path.join(str(tmp_path), "ft_img", "result.pkl")
+        )
