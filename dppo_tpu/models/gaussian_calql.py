@@ -7,6 +7,13 @@ values against Monte-Carlo returns (`loss_critic:56-172`), SAC-style actor /
 temperature losses (:173-193). The reference's importance weight
 `log_rand_pi = 0.5 ** prod(H, A)` (a probability, despite the name,
 `:103`) is reproduced verbatim for parity.
+
+Documented deviation: in the reference's CQL penalty, `q_pi - log_pi`
+subtracts a (B,) log-prob from a (B, 1) calibrated Q
+(`gaussian_calql.py:144-147`), silently broadcasting the importance-sample
+set to (B, n_rand + 2B) before the logsumexp. Here the set follows CQL's
+published (B, n_rand + 2) form. The TD + max-backup part is oracle-equal;
+the quirk itself is pinned in tests/test_reference_parity_offpolicy3.py.
 """
 
 from __future__ import annotations
