@@ -96,6 +96,7 @@ class TrainAgent(BaseAgent):
             device_task=cfg.env.get("device_task"),
             device_task_kwargs=cfg.env.get("device_task_kwargs"),
             fake_sim=bool(cfg.env.get("fake_sim", False)),
+            record_states=bool(cfg.env.get("record_states", False)),
             **(cfg.env.get("specific") or {}),
         )
         if env_type != "furniture":

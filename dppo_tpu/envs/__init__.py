@@ -173,6 +173,7 @@ def make_async(
             max_episode_steps=ms.get("max_episode_steps", max_episode_steps),
             reset_within_step=bool(ms.get("reset_within_step", False)),
             nthread=n_workers,
+            record_states=bool(kwargs.get("record_states", False)),
         )
     if backend == "device":
         # TPU-resident batched envs: pure-JAX dynamics vmapped on the

@@ -94,6 +94,31 @@ class TestBatchedMujocoRecording:
         assert os.path.exists(out) and os.path.getsize(out) > 0
 
 
+class TestRecordStatesThroughFactory:
+    def test_make_async_threads_record_states(self, hopper_norm):
+        from dppo_tpu.envs import make_async
+
+        venv = make_async(
+            "hopper-medium-v2",
+            num_envs=2,
+            backend="batched_mujoco",
+            max_episode_steps=16,
+            wrappers={
+                "mujoco_locomotion_lowdim": {
+                    "normalization_path": hopper_norm
+                },
+                "multi_step": {"n_obs_steps": 1, "n_action_steps": 4},
+            },
+            record_states=True,
+        )
+        venv.seed([0, 1])
+        venv.reset_arg()
+        venv.step(np.zeros((2, 4, 3), np.float32))
+        trajs = venv.pop_recorded_states()
+        venv.close()
+        assert len(trajs) == 2 and trajs[0].shape[0] > 0
+
+
 class TestDevicePendulumReplay:
     def test_render_pendulum_replay(self, tmp_path):
         from dppo_tpu.envs import replay
