@@ -91,8 +91,12 @@ class SpatialEmb(nn.Module):
     Parity with `model/common/modules.py:10-42`: per-patch features are
     projected per *feature column* — input (B, num_patch, patch_dim) is
     transposed to (B, patch_dim, num_patch), concatenated with proprio, run
-    through a 2-layer MLP to proj_dim, then weighted by a learned per-column
-    weight vector and summed.
+    through ONE Linear -> LayerNorm -> ReLU block to proj_dim, then reduced
+    by a learned per-(column, proj) weight `(1, patch_dim, proj_dim)`
+    summed over the column axis. (An earlier revision used a second
+    projection block and a rank-reduced (1, patch_dim, 1) weight — caught
+    by reading against the oracle and fixed; pinned in
+    tests/test_reference_parity_vision.py.)
     """
 
     num_patch: int
@@ -110,13 +114,13 @@ class SpatialEmb(nn.Module):
             repeated = jnp.repeat(prop[:, None, :], feat.shape[1], axis=1)
             feat = jnp.concatenate([feat, repeated], axis=-1)
         y = nn.Dense(self.proj_dim, dtype=self.dtype)(feat)
-        y = nn.LayerNorm(dtype=self.dtype)(y)
-        y = nn.relu(y)
-        y = nn.Dense(self.proj_dim, dtype=self.dtype)(y)
-        y = nn.LayerNorm(dtype=self.dtype)(y)
+        # torch nn.LayerNorm default eps (reference modules.py:21)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
         y = nn.relu(y)
         weight = self.param(
-            "weight", nn.initializers.normal(stddev=1.0), (1, feat.shape[1], 1)
+            "weight",
+            nn.initializers.normal(stddev=1.0),
+            (1, self.patch_dim, self.proj_dim),
         )
         z = (y * weight).sum(axis=1)
         z = nn.Dropout(self.dropout, deterministic=deterministic)(z)
