@@ -18,7 +18,12 @@ from flax import linen as nn
 
 normal02 = nn.initializers.normal(stddev=0.02)
 
-_ACT = {"gelu": nn.gelu, "relu": nn.relu}
+# exact erf gelu: torch's transformer layers use F.gelu's default
+# (jax defaults to the tanh approximation — same fix as nets/vit.py)
+_ACT = {
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "relu": nn.relu,
+}
 
 
 class DecoderLayer(nn.Module):
@@ -33,19 +38,19 @@ class DecoderLayer(nn.Module):
     def __call__(self, x, memory, *, tgt_mask=None, memory_mask=None,
                  deterministic: bool = True):
         act = _ACT[self.activation]
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.n_head, qkv_features=self.n_emb,
             kernel_init=normal02,
         )(h, h, mask=tgt_mask)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.n_head, qkv_features=self.n_emb,
             kernel_init=normal02,
         )(h, memory, mask=memory_mask)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.Dense(4 * self.n_emb, kernel_init=normal02)(h)
         h = act(h)
         h = nn.Dense(self.n_emb, kernel_init=normal02)(h)
@@ -61,13 +66,13 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         act = _ACT[self.activation]
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.n_head, qkv_features=self.n_emb,
             kernel_init=normal02,
         )(h, h)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.Dense(4 * self.n_emb, kernel_init=normal02)(h)
         h = act(h)
         h = nn.Dense(self.n_emb, kernel_init=normal02)(h)
@@ -131,7 +136,7 @@ class Transformer(nn.Module):
                 x, memory, tgt_mask=tgt_mask, memory_mask=memory_mask,
                 deterministic=deterministic,
             )
-        prehead = nn.LayerNorm(name="ln_f")(x)
+        prehead = nn.LayerNorm(epsilon=1e-5, name="ln_f")(x)
         out = nn.Dense(self.output_dim, kernel_init=normal02, name="head")(
             prehead
         )
