@@ -184,14 +184,18 @@ class GaussianVisionMLP(nn.Module):
         elif self.fixed_std is not None:
             scale = jnp.full((B, output_dim), self.fixed_std)
         else:
-            logvar = model(
-                [x.shape[-1]] + list(self.mlp_dims) + [output_dim],
+            # reference vision head (mlp_gaussian.py:189-194, 269-274): the
+            # logvar head is a plain MLP with ONE hidden layer
+            # (mlp_dims[-1:]), and the logvar is CLAMPED to range — unlike
+            # the state head's tanh-range mapping (oracle-pinned,
+            # tests/test_reference_parity_vision2.py)
+            logvar = MLP(
+                [x.shape[-1]] + list(self.mlp_dims[-1:]) + [output_dim],
                 activation_type=self.activation_type,
                 out_activation_type="Identity",
                 use_layernorm=self.use_layernorm,
             )(x)
-            logvar = jnp.tanh(logvar)
-            logvar = logvar_min + 0.5 * (logvar_max - logvar_min) * (logvar + 1)
+            logvar = jnp.clip(logvar, logvar_min, logvar_max)
             scale = jnp.exp(0.5 * logvar)
         if self.tanh_output:
             mean = jnp.tanh(mean)
