@@ -1,0 +1,75 @@
+#!/bin/bash
+# Archive milestone checkpoints from the per-round runs/ scratch into the
+# git-tracked artifacts/ tree so evidence survives rounds (VERDICT r4 #3:
+# the r3 hopper checkpoints died with the scratch disk and cost the r4
+# hopper extension). Copies are small (policy-only state_*.pkl plus the
+# latest full_state for resume) and a MANIFEST.tsv records provenance.
+set -e
+cd /root/repo
+A=artifacts
+mkdir -p $A
+MANIFEST=$A/MANIFEST.tsv
+echo -e "path\tsource\tdescription" > $MANIFEST
+
+copy() { # copy <src> <dst-rel> <description>
+  local src=$1 dst=$A/$2 desc=$3
+  if [ -f "$src" ]; then
+    mkdir -p "$(dirname "$dst")"
+    cp "$src" "$dst"
+    echo -e "$2\t$src\t$desc" >> $MANIFEST
+    echo "archived $2"
+  else
+    echo "MISSING $src ($desc)" >&2
+  fi
+}
+
+latest_full() { # latest_full <ckpt-dir>
+  ls "$1"/full_state_*.pkl 2>/dev/null | sed 's/.*full_state_\([0-9]*\).pkl/\1 &/' | sort -n | tail -1 | cut -d' ' -f2
+}
+
+# --- walker2d (resume state for the 1000-iter budget) ---
+W=runs/walker2d
+WF=$(latest_full $W/ft/checkpoint)
+[ -n "$WF" ] && copy "$WF" walker2d/$(basename "$WF") "walker ft resume state"
+copy $W/pre/checkpoint/state_200.pkl walker2d/pre_state_200.pkl "walker BC pretrain"
+copy $W/normalization.npz walker2d/normalization.npz "walker obs/act normalization"
+copy $W/train.npz walker2d/train.npz "walker demo dataset"
+
+# --- hopper (if present this round) ---
+H=runs/hopper
+if [ -d $H ]; then
+  HF=$(latest_full $H/ft/checkpoint)
+  [ -n "$HF" ] && copy "$HF" hopper/$(basename "$HF") "hopper ft resume state"
+  copy $H/pre/checkpoint/state_200.pkl hopper/pre_state_200.pkl "hopper BC pretrain"
+  copy $H/normalization.npz hopper/normalization.npz "hopper normalization"
+  copy $H/train.npz hopper/train.npz "hopper demo dataset"
+fi
+
+# --- halfcheetah (final 1000-iter policy, r4 evidence) ---
+C=runs/halfcheetah
+copy $C/ft/checkpoint/state_999.pkl halfcheetah/state_999.pkl "halfcheetah final policy (eval 5003 @ full budget)"
+copy $C/normalization.npz halfcheetah/normalization.npz "halfcheetah normalization"
+
+# --- pendulum state stack (shared BC + the 96% DDIM policy) ---
+P=runs/awr_pendulum
+copy $P/pre/checkpoint/state_200.pkl pendulum/pre_state_200.pkl "pendulum shared BC checkpoint (all eta/finetune arms)"
+copy $P/normalization.npz pendulum/normalization.npz "pendulum normalization"
+copy $P/train.npz pendulum/train.npz "pendulum demo dataset"
+copy runs/pendulum_ddim/fixed/checkpoint/state_299.pkl pendulum/ddim_fixed_state_299.pkl "96%-success DDIM fine-tuned state policy (r3)"
+
+# --- pixel pendulum (96x96 BC pretrain from the r4 campaign) ---
+copy runs/pendulum_pixels96/pre2/checkpoint/state_200.pkl pixels96/pre2_state_200.pkl "96x96 ViT BC pretrain (post-SpatialEmb-fix)"
+
+# --- expert-distillation artifacts (round 5, written by the pixel pipeline) ---
+E=runs/pixels96_expert
+if [ -d $E ]; then
+  copy $E/train.npz pixels96_expert/train.npz "expert pixel demos distilled from the state policy"
+  copy $E/normalization.npz pixels96_expert/normalization.npz "expert pixel demo normalization"
+  copy $E/pre/checkpoint/state_200.pkl pixels96_expert/pre_state_200.pkl "expert-demo 96x96 BC pretrain"
+  EF=$(latest_full $E/ft/checkpoint)
+  [ -n "$EF" ] && copy "$EF" pixels96_expert/$(basename "$EF") "expert-start pixel DPPO ft resume state"
+  LAST=$(ls $E/ft/checkpoint/state_*.pkl 2>/dev/null | sed 's/.*state_\([0-9]*\).pkl/\1 &/' | sort -n | tail -1 | cut -d' ' -f2)
+  [ -n "$LAST" ] && copy "$LAST" pixels96_expert/$(basename "$LAST") "expert-start pixel DPPO policy"
+fi
+
+echo; echo "=== artifacts/ ==="; du -sh $A; cat $MANIFEST
