@@ -21,6 +21,23 @@ Round-4 methodology (VERDICT r3 weak #1 / next #3-#4):
     from the analytic per-forward FLOPs of the flagship MLP. At B=40 the
     MXU is mostly idle (tiny matmuls, weight-streaming bound) — MFU is
     reported at the largest sweep point too ("mfu_5120").
+  * "roofline" (round 5, VERDICT r4 #4): a bytes-side model per sweep
+    point — each Dense kernel streams its weights once per denoise step
+    and moves B*(in+out) fp32 activation words through HBM (XLA
+    materializes fusion outputs); compute term = derived matmul FLOPs at
+    the v5e bf16 peak. The sampler is MEMORY-bound at every sweep point:
+    at B=5120 fp32 the model gives t_bytes 84us vs t_flops 29us, i.e. a
+    roofline of ~61M denoise-steps/s and an MFU ceiling of ~34% — the
+    r4-measured 45.6M (25.5% MFU) is ~75% of the achievable roofline, and
+    "40% MFU" is not reachable by any schedule that round-trips
+    activations through HBM at this arithmetic intensity. The bf16
+    sampling arm (sweep_env_batch_bf16) halves weight traffic only
+    (activations/posterior stay fp32 by design), so its win shrinks as B
+    grows and activation traffic dominates. The design answer to this
+    roofline is the Pallas fused-chain kernel (ops/pallas/fused_chain.py:
+    weights pinned in VMEM, the whole K-step chain in one kernel,
+    activations never leaving VMEM) — bit-exact in interpreter mode but
+    unbenchmarkable here because the axon tunnel cannot compile Mosaic.
   * vs_baseline keeps the round-1 documented estimate of the reference's
     GPU rate (1.0e4 steps/s) as the FIXED denominator for round-over-round
     comparability, and additionally reports the MEASURED like-for-like
@@ -41,10 +58,47 @@ import numpy as np
 
 REFERENCE_DENOISE_STEPS_PER_S = 1.0e4  # documented estimate, fixed across rounds
 V5E_BF16_PEAK_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9  # v5e HBM bandwidth
 
 # analytic FLOPs of one DiffusionMLP forward at the hopper operating point:
 # trunk 39->512, two residual 512x512 layers, head 512->12, time-emb 16->32->16
 _FLOPS_PER_FORWARD = 2 * (39 * 512 + 2 * 512 * 512 + 512 * 12 + 16 * 32 + 32 * 16)
+
+
+def _roofline(params_actor, B: int, weight_bytes_per_elem: int):
+    """Bytes-side roofline for one denoise step at env batch B
+    (VERDICT r4 #4): every Dense kernel (in, out) streams its weights from
+    HBM once per step and moves B*(in+out) activation words; elementwise
+    posterior math fuses into the matmuls. The chain recording + x-buffer
+    update adds 3 B*H*A words. t_step = max(compute, memory);
+    `bound` says which side of the roofline the point sits on.
+
+    Activations stay fp32 even when sampling casts weights to bf16 (the
+    posterior math is fp32 by design — diffusion/core.py); the MXU computes
+    bf16 with fp32 accumulate either way, so the FLOPs term always uses the
+    bf16 peak."""
+    import jax
+
+    leaves = [
+        l for l in jax.tree_util.tree_leaves(params_actor)
+        if getattr(l, "ndim", 0) == 2
+    ]
+    w_bytes = sum(
+        l.size for l in jax.tree_util.tree_leaves(params_actor)
+    ) * weight_bytes_per_elem
+    act_bytes = sum(B * (l.shape[0] + l.shape[1]) * 4 for l in leaves)
+    act_bytes += 3 * B * 4 * 3 * 4  # x read/write + chain record (H=4, A=3)
+    flops = sum(2 * l.shape[0] * l.shape[1] * B for l in leaves)
+    t_flops = flops / V5E_BF16_PEAK_FLOPS
+    t_bytes = (w_bytes + act_bytes) / V5E_HBM_BYTES_PER_S
+    t_step = max(t_flops, t_bytes)
+    return {
+        "steps_per_s": B / t_step,
+        "bound": "memory" if t_bytes > t_flops else "compute",
+        "t_flops_us": round(t_flops * 1e6, 2),
+        "t_bytes_us": round(t_bytes * 1e6, 2),
+        "flops_per_forward": flops // B,
+    }
 
 
 def _wait_for_backend(max_probes: int = 5, probe_timeout: int = 90,
@@ -141,7 +195,7 @@ def main():
 
     from dppo_tpu.ops.pallas.fused_chain import auto_fused_sampler
 
-    def make_rollout(B: int, n_iters: int):
+    def make_rollout(B: int, n_iters: int, model=model):
         cond = {"state": jnp.zeros((B, 1, 11), dtype=jnp.float32)}
         fused = auto_fused_sampler(model, params, cond, mode="auto")
         if fused is not None:
@@ -175,8 +229,8 @@ def main():
         )
         return sample_rollout, state_obs
 
-    def measure(B: int, n_iters: int, trials: int):
-        rollout, state_obs = make_rollout(B, n_iters)
+    def measure(B: int, n_iters: int, trials: int, model=model):
+        rollout, state_obs = make_rollout(B, n_iters, model=model)
         jax.block_until_ready(rollout(params, state_obs, jax.random.key(1)))
         rates = []
         for t in range(trials):
@@ -193,14 +247,43 @@ def main():
     median = float(np.median(rates))
     q1, q3 = np.percentile(rates, [25, 75])
 
-    # batch sweep (fewer scan iters at large B to bound wall time)
-    sweep = {}
+    # batch sweep (fewer scan iters at large B to bound wall time), fp32
+    # and bf16-sampling arms, each against its bytes-side roofline
+    model_bf16 = _flagship_model(sample_network_dtype="bfloat16")
+    sweep, sweep_bf16, roofline = {}, {}, {}
     for B, n_iters in ((40, 500), (640, 100), (5120, 20)):
         r = measure(B=B, n_iters=n_iters, trials=3)
         sweep[str(B)] = round(float(np.median(r)), 1)
+        r16 = measure(B=B, n_iters=n_iters, trials=3, model=model_bf16)
+        sweep_bf16[str(B)] = round(float(np.median(r16)), 1)
+        roof32 = _roofline(params.actor_ft, B, weight_bytes_per_elem=4)
+        roof16 = _roofline(params.actor_ft, B, weight_bytes_per_elem=2)
+        roofline[str(B)] = {
+            "fp32": {
+                "roofline_steps_per_s": round(roof32["steps_per_s"], 1),
+                "roofline_fraction": round(
+                    sweep[str(B)] / roof32["steps_per_s"], 4
+                ),
+                "bound": roof32["bound"],
+                "t_flops_us": roof32["t_flops_us"],
+                "t_bytes_us": roof32["t_bytes_us"],
+            },
+            "bf16": {
+                "roofline_steps_per_s": round(roof16["steps_per_s"], 1),
+                "roofline_fraction": round(
+                    sweep_bf16[str(B)] / roof16["steps_per_s"], 4
+                ),
+                "bound": roof16["bound"],
+                "t_flops_us": roof16["t_flops_us"],
+                "t_bytes_us": roof16["t_bytes_us"],
+            },
+        }
 
     mfu = median * _FLOPS_PER_FORWARD / V5E_BF16_PEAK_FLOPS
     mfu_5120 = sweep["5120"] * _FLOPS_PER_FORWARD / V5E_BF16_PEAK_FLOPS
+    mfu_5120_bf16 = (
+        sweep_bf16["5120"] * _FLOPS_PER_FORWARD / V5E_BF16_PEAK_FLOPS
+    )
 
     out = {
         "metric": "denoise_steps_per_s_per_chip",
@@ -210,8 +293,11 @@ def main():
         "trials": [round(float(r), 1) for r in rates],
         "iqr": [round(float(q1), 1), round(float(q3), 1)],
         "sweep_env_batch": sweep,
+        "sweep_env_batch_bf16": sweep_bf16,
         "mfu_b40": round(mfu, 5),
         "mfu_b5120": round(mfu_5120, 4),
+        "mfu_b5120_bf16": round(mfu_5120_bf16, 4),
+        "roofline": roofline,
     }
     measured = _measured_baseline()
     if measured is not None:
