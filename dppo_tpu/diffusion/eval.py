@@ -65,16 +65,18 @@ class DiffusionEval(DiffusionModel):
 
         def make_step(actor_params):
             # static base/ft boundary -> two back-to-back scans each bound
-            # to one weight tree (see diffusion/vpg.py sample for why)
-            return lambda carry, it: step(actor_params, carry, it)
+            # to one weight tree (see diffusion/vpg.py sample for why);
+            # pixel/point conditions encode once per tree (cond-hoist)
+            cond_feat = self.encode_cond_once(actor_params, cond)
+            return lambda carry, it: step(actor_params, cond_feat, carry, it)
 
-        def step(actor_params, carry, it):
+        def step(actor_params, cond_feat, carry, it):
             x, rng = carry
             i, t = it
             t_b = jnp.full((B,), t, dtype=jnp.int32)
             index_b = jnp.full((B,), i, dtype=jnp.int32)
             mean, logvar = self.p_mean_var(
-                actor_params, x, t_b, cond, index=index_b
+                actor_params, x, t_b, cond, index=index_b, cond_feat=cond_feat
             )
             std = jnp.exp(0.5 * logvar)
             if self.use_ddim:

@@ -180,6 +180,7 @@ class VPGDiffusion(DiffusionModel):
         index=None,
         eta_value=None,
         network_override=None,
+        cond_feat=None,
     ):
         """Posterior mean/logvar/eta with DDIM-η noise injection.
 
@@ -188,7 +189,9 @@ class VPGDiffusion(DiffusionModel):
         eta_value: (B, 1) or (B, Da) from an eta module, or None -> DDIM η=0
         path is NOT taken here; for DDPM η is identically 1.
         """
-        noise = self._net_apply(actor_params, x, t, cond, net=network_override)
+        noise = self._net_apply(
+            actor_params, x, t, cond, net=network_override, cond_feat=cond_feat
+        )
         if self.predict_epsilon:
             if self.use_ddim:
                 alpha = extract(self.ddim.alphas, index, x.ndim)
@@ -282,8 +285,12 @@ class VPGDiffusion(DiffusionModel):
         # bf16 sampling option: cast each tree once, outside the scans
         base_actor = self.cast_sampling_params(params.actor)
         sample_actor = self.cast_sampling_params(sample_actor)
+        # TPU-native cond-hoist: the pixel/point encoder is loop-invariant
+        # across the chain — encode once per actor tree, outside the scans
+        base_feat = self.encode_cond_once(base_actor, cond)
+        sample_feat = self.encode_cond_once(sample_actor, cond)
 
-        def make_step(actor_params):
+        def make_step(actor_params, cond_feat):
             # the base/ft boundary is static (`base_steps`), so the sampler
             # runs as two back-to-back scans each bound to ONE weight tree —
             # a per-step `tree_select` would make XLA stream BOTH trees from
@@ -296,7 +303,7 @@ class VPGDiffusion(DiffusionModel):
                 index_b = jnp.full((B,), i, dtype=jnp.int32)
                 mean, logvar, _ = self.p_mean_var_ft(
                     actor_params, x, t_b, cond, index=index_b,
-                    eta_value=eta_value,
+                    eta_value=eta_value, cond_feat=cond_feat,
                 )
                 std = jnp.exp(0.5 * logvar)
                 if self.use_ddim:
@@ -328,12 +335,12 @@ class VPGDiffusion(DiffusionModel):
             return step
 
         carry, xs_base = jax.lax.scan(
-            make_step(base_actor),
+            make_step(base_actor, base_feat),
             (x0, rng),
             (index_all[:base_steps], t_all[:base_steps]),
         )
         carry, xs_ft = jax.lax.scan(
-            make_step(sample_actor),
+            make_step(sample_actor, sample_feat),
             carry,
             (index_all[base_steps:], t_all[base_steps:]),
         )
@@ -367,11 +374,13 @@ class VPGDiffusion(DiffusionModel):
         return t_single, indices_single
 
     def _transition_logprob(
-        self, actor_params, x_prev, x_next, t, index, cond, eta_value
+        self, actor_params, x_prev, x_next, t, index, cond, eta_value,
+        cond_feat=None,
     ):
         """Gaussian log-density of one denoising transition, with std floor."""
         mean, logvar, eta = self.p_mean_var_ft(
-            actor_params, x_prev, t, cond, index=index, eta_value=eta_value
+            actor_params, x_prev, t, cond, index=index, eta_value=eta_value,
+            cond_feat=cond_feat,
         )
         std = jnp.clip(jnp.exp(0.5 * logvar), self.min_logprob_denoising_std, None)
         logprob = (
@@ -399,8 +408,20 @@ class VPGDiffusion(DiffusionModel):
         t_single, indices_single = self._ft_t_and_index()
         t_all = jnp.tile(t_single, (B,))
         index_all = jnp.tile(indices_single, (B,))
+        actor_params = params.actor if use_base_policy else params.actor_ft
+        # TPU-native cond-hoist: encode the B pixel/point conditions ONCE
+        # and repeat only the small feature K_ft-fold — never the rgb
+        # buffer (the reference repeats the full image batch per denoise
+        # step, diffusion_vpg.py:319-396)
+        feat = self.encode_cond_once(actor_params, cond)
+        if feat is not None:
+            feat_rep = jnp.repeat(feat, K_ft, axis=0)
+            cond_small = {k: v for k, v in cond.items() if k not in ("rgb", "point")}
+        else:
+            feat_rep = None
+            cond_small = cond
         cond_rep = jax.tree_util.tree_map(
-            lambda v: jnp.repeat(v, K_ft, axis=0), cond
+            lambda v: jnp.repeat(v, K_ft, axis=0), cond_small
         )
         chains_prev = chains[:, :-1].reshape(
             B * K_ft, self.horizon_steps, self.action_dim
@@ -408,11 +429,10 @@ class VPGDiffusion(DiffusionModel):
         chains_next = chains[:, 1:].reshape(
             B * K_ft, self.horizon_steps, self.action_dim
         )
-        actor_params = params.actor if use_base_policy else params.actor_ft
         eta_value = self._eta_value(params, cond_rep, deterministic=False)
         logprob, eta = self._transition_logprob(
             actor_params, chains_prev, chains_next, t_all, index_all, cond_rep,
-            eta_value,
+            eta_value, cond_feat=feat_rep,
         )
         if get_ent:
             return logprob, eta

@@ -77,7 +77,10 @@ class GMMModel:
             scales = jnp.full_like(means, 1e-4)
         return means, scales, logits
 
-    def loss(self, params, true_action, cond, **kwargs):
+    def loss(self, params, true_action, cond, ent_coef: float = 0.0, **kwargs):
+        # ent_coef accepted (and ignored) so the shared pretrain agent can
+        # call gaussian/GMM losses uniformly; the reference GMM BC loss has
+        # no entropy term (gmm.py:72-80)
         B = true_action.shape[0]
         means, scales, logits = self.forward_train(params, cond)
         nll = -gmm_log_prob(true_action.reshape(B, -1), means, scales, logits)

@@ -63,7 +63,18 @@ class DiffusionMLP(nn.Module):
 
 
 class VisionDiffusionMLP(nn.Module):
-    """ViT-encoded pixels + proprio conditioned denoiser (`mlp_diffusion.py:19`)."""
+    """ViT-encoded pixels + proprio conditioned denoiser (`mlp_diffusion.py:19`).
+
+    TPU-native cond-hoist: the ViT + SpatialEmb encoder depends only on
+    `cond`, which is loop-invariant across the K-step denoising scan, so
+    samplers encode ONCE (`return_cond_feat=True`) and replay the feature
+    into every step (`cond_feat=...`), skipping the encoder — at the 96x96
+    reference operating point the encoder is ~20x the trunk FLOPs, so this
+    multiplies pixel sampling throughput by ~encoder_share*K. Numerically
+    identical (same ops on the same inputs; in-net augmentation is never
+    active on these paths — agents augment at buffer level)."""
+
+    supports_cond_feat = True
 
     backbone: nn.Module
     action_dim: int
@@ -83,11 +94,26 @@ class VisionDiffusionMLP(nn.Module):
     augment: bool = False
 
     @nn.compact
-    def __call__(self, x, t, cond, *, aug_rng=None, no_augment: bool = False):
+    def __call__(
+        self,
+        x,
+        t,
+        cond,
+        *,
+        aug_rng=None,
+        no_augment: bool = False,
+        cond_feat=None,
+        return_cond_feat: bool = False,
+    ):
         B = x.shape[0]
         Ta, Da = self.horizon_steps, self.action_dim
         x_flat = x.reshape(B, -1)
         state = cond["state"].reshape(B, -1)
+        if cond_feat is not None:
+            feat = cond_feat
+            return self._trunk(
+                x_flat, t, feat, state, B, Ta, Da, return_cond_feat
+            )
         rgb = cond["rgb"][:, -self.img_cond_steps :]
         _, T_rgb, C, H, W = rgb.shape
 
@@ -131,15 +157,21 @@ class VisionDiffusionMLP(nn.Module):
                 rgb = random_shift_aug(aug_rng, rgb)
             feat = encode(rgb, "compress")
 
+        return self._trunk(x_flat, t, feat, state, B, Ta, Da, return_cond_feat)
+
+    def _trunk(self, x_flat, t, feat, state, B, Ta, Da, return_cond_feat):
         cond_encoded = jnp.concatenate([feat, state], axis=-1)
         t = jnp.broadcast_to(jnp.asarray(t), (B,))
         time_emb = TimeEmbedding(self.time_dim)(t)
-        feat = jnp.concatenate([x_flat, time_emb, cond_encoded], axis=-1)
+        h = jnp.concatenate([x_flat, time_emb, cond_encoded], axis=-1)
         model = ResidualMLP if self.residual_style else MLP
         out = model(
-            [feat.shape[-1]] + list(self.mlp_dims) + [Ta * Da],
+            [h.shape[-1]] + list(self.mlp_dims) + [Ta * Da],
             activation_type=self.activation_type,
             out_activation_type=self.out_activation_type,
             use_layernorm=self.use_layernorm,
-        )(feat)
-        return out.reshape(B, Ta, Da)
+        )(h)
+        out = out.reshape(B, Ta, Da)
+        if return_cond_feat:
+            return out, feat
+        return out

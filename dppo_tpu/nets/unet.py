@@ -177,7 +177,13 @@ class Unet1D(nn.Module):
 
 
 class VisionUnet1D(nn.Module):
-    """ViT-encoded pixels feeding the U-Net condition (`unet.py:330`)."""
+    """ViT-encoded pixels feeding the U-Net condition (`unet.py:330`).
+
+    Supports the TPU-native cond-hoist (see VisionDiffusionMLP): samplers
+    encode the loop-invariant pixel condition once per chain and replay the
+    feature into every denoise step via `cond_feat`."""
+
+    supports_cond_feat = True
 
     backbone: nn.Module
     action_dim: int
@@ -200,29 +206,42 @@ class VisionUnet1D(nn.Module):
     augment: bool = False
 
     @nn.compact
-    def __call__(self, x, t, cond, *, aug_rng=None, no_augment: bool = False):
+    def __call__(
+        self,
+        x,
+        t,
+        cond,
+        *,
+        aug_rng=None,
+        no_augment: bool = False,
+        cond_feat=None,
+        return_cond_feat: bool = False,
+    ):
         B = x.shape[0]
         state = cond["state"].reshape(B, -1)
-        rgb = cond["rgb"][:, -self.img_cond_steps :]
-        _, T_rgb, C, H, W = rgb.shape
-        rgb = rgb.reshape(B, T_rgb * C, H, W).astype(jnp.float32)
-        if self.augment and aug_rng is not None and not no_augment:
-            rgb = random_shift_aug(aug_rng, rgb)
-        feat = self.backbone(rgb)
-        if self.spatial_emb > 0:
-            feat = SpatialEmb(
-                num_patch=self.backbone.num_patch,
-                patch_dim=self.backbone.patch_repr_dim,
-                prop_dim=self.cond_dim,
-                proj_dim=self.spatial_emb,
-                dropout=self.dropout,
-                name="compress",
-            )(feat, state)
+        if cond_feat is not None:
+            feat = cond_feat
         else:
-            feat = feat.reshape(B, -1)
-            feat = nn.Dense(self.visual_feature_dim)(feat)
-            feat = nn.LayerNorm()(feat)
-            feat = nn.relu(feat)
+            rgb = cond["rgb"][:, -self.img_cond_steps :]
+            _, T_rgb, C, H, W = rgb.shape
+            rgb = rgb.reshape(B, T_rgb * C, H, W).astype(jnp.float32)
+            if self.augment and aug_rng is not None and not no_augment:
+                rgb = random_shift_aug(aug_rng, rgb)
+            feat = self.backbone(rgb)
+            if self.spatial_emb > 0:
+                feat = SpatialEmb(
+                    num_patch=self.backbone.num_patch,
+                    patch_dim=self.backbone.patch_repr_dim,
+                    prop_dim=self.cond_dim,
+                    proj_dim=self.spatial_emb,
+                    dropout=self.dropout,
+                    name="compress",
+                )(feat, state)
+            else:
+                feat = feat.reshape(B, -1)
+                feat = nn.Dense(self.visual_feature_dim)(feat)
+                feat = nn.LayerNorm()(feat)
+                feat = nn.relu(feat)
         full_state = jnp.concatenate([feat, state], axis=-1)
         inner = Unet1D(
             action_dim=self.action_dim,
@@ -239,7 +258,10 @@ class VisionUnet1D(nn.Module):
             groupnorm_eps=self.groupnorm_eps,
             name="unet",
         )
-        return inner(x, t, {"state": full_state[:, None, :]})
+        out = inner(x, t, {"state": full_state[:, None, :]})
+        if return_cond_feat:
+            return out, feat
+        return out
 
 
 class PointUnet1D(nn.Module):
@@ -262,13 +284,21 @@ class PointUnet1D(nn.Module):
     cond_predict_scale: bool = False
     groupnorm_eps: float = 1e-5
 
+    supports_cond_feat = True
+
     @nn.compact
-    def __call__(self, x, t, cond, *, aug_rng=None, **kwargs):
+    def __call__(
+        self, x, t, cond, *, aug_rng=None, cond_feat=None,
+        return_cond_feat=False, **kwargs,
+    ):
         B = x.shape[0]
         state = cond["state"].reshape(B, -1)
-        point = cond["point"]
-        point = point.reshape((B,) + point.shape[-4:])  # (B, To, F, L, D)
-        feat = self.backbone(point, aug_rng=aug_rng)
+        if cond_feat is not None:
+            feat = cond_feat
+        else:
+            point = cond["point"]
+            point = point.reshape((B,) + point.shape[-4:])  # (B, To, F, L, D)
+            feat = self.backbone(point, aug_rng=aug_rng)
         full_state = jnp.concatenate([feat, state], axis=-1)
         inner = Unet1D(
             action_dim=self.action_dim,
@@ -285,4 +315,8 @@ class PointUnet1D(nn.Module):
             groupnorm_eps=self.groupnorm_eps,
             name="unet",
         )
-        return inner(x, t, {"state": full_state[:, None, :]})
+        out = inner(x, t, {"state": full_state[:, None, :]})
+        if return_cond_feat:
+            return out, feat
+        return out
+
