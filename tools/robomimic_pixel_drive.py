@@ -1,0 +1,90 @@
+"""Drive the shipped robomimic-can PIXEL finetune config END-TO-END on the
+chip at the FULL reference operating point (VERDICT r4 #6): 50 envs, 96x96
+frames, K=100 -> DDIM-5, grad_accumulate 15, ViT-128 + SpatialEmb-128 +
+[512,512,512] trunk (`cfg/robomimic/finetune/can/ft_ppo_diffusion_mlp_img.yaml:
+34,59,14-17` — the memory/compile stress case the reference actually ships).
+The robomimic sim is not installable here, so the env side runs on the
+fake-sim double (`envs/fake_sim.py`, API-exact); every device-side tensor
+(obs buffers, chains, ViT activations, accumulated grads) is at the real
+operating point. Reports per-iteration wall time and the chip's HBM
+high-water mark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    n_itr = int(os.environ.get("N_ITR", "3"))
+    out_dir = os.environ.get("OUT", "/root/repo/runs/robomimic_pixel_drive")
+    os.makedirs(out_dir, exist_ok=True)
+    norm = os.path.join(out_dir, "norm.npz")
+    np.savez(
+        norm,
+        obs_min=np.full(9, -2.0, np.float32),
+        obs_max=np.full(9, 2.0, np.float32),
+        action_min=np.full(7, -2.0, np.float32),
+        action_max=np.full(7, 2.0, np.float32),
+    )
+
+    from dppo_tpu.config import get_class, load_config
+
+    cfg = load_config(
+        "/root/repo/cfg/robomimic/finetune/can/ft_ppo_diffusion_mlp_img.yaml",
+        overrides=[
+            f"logdir={out_dir}/ft",
+            "base_policy_path=null",
+            f"normalization_path={norm}",
+            "env.fake_sim=true",
+            "model.network_path=null",
+            f"train.n_train_itr={n_itr}",
+            f"train.val_freq={n_itr + 1}",
+            f"train.save_model_freq={n_itr + 1}",
+            "train.n_critic_warmup_itr=0",
+        ],
+    )
+    agent = get_class(cfg._target_)(cfg)
+
+    import jax
+
+    t0 = time.perf_counter()
+    agent.run()
+    total = time.perf_counter() - t0
+
+    dev = jax.local_devices()[0]
+    stats = {}
+    try:
+        ms = dev.memory_stats() or {}
+        stats = {
+            "bytes_in_use": ms.get("bytes_in_use"),
+            "peak_bytes_in_use": ms.get("peak_bytes_in_use"),
+            "bytes_limit": ms.get("bytes_limit"),
+        }
+    except Exception as e:  # tunnel backends may not expose memory stats
+        stats = {"error": str(e)}
+
+    result = {
+        "config": "cfg/robomimic/finetune/can/ft_ppo_diffusion_mlp_img.yaml",
+        "operating_point": "50 envs x n_steps, 96x96, K=100 DDIM-5, accum 15",
+        "n_train_itr": n_itr,
+        "total_wall_s": round(total, 1),
+        "s_per_itr_incl_compile": round(total / n_itr, 1),
+        "platform": dev.platform,
+        "hbm": stats,
+    }
+    path = os.path.join(out_dir, "drive_result.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
