@@ -796,7 +796,15 @@ def auto_fused_sampler(model, example_params, example_cond, mode="auto"):
         if "axon" in spec or _jax.default_backend() != "tpu":
             return None
     try:
-        sampler = FusedChainSampler(model)  # asserts model qualifies
+        net_kind = type(model.network).__name__
+        if net_kind in ("Unet1D", "VisionUnet1D"):
+            from dppo_tpu.ops.pallas.fused_chain_unet import (
+                FusedUnetChainSampler,
+            )
+
+            sampler = FusedUnetChainSampler(model)
+        else:
+            sampler = FusedChainSampler(model)  # asserts model qualifies
         fn = _jax.jit(
             lambda p, c, r, det: sampler(p, c, r, deterministic=det),
             static_argnames=("det",),
