@@ -81,7 +81,13 @@ class EnvFactory:
             if self.fake_sim:
                 from dppo_tpu.envs.fake_sim import FakeRobosuiteEnv
 
-                raw = FakeRobosuiteEnv(action_dim=self.action_dim)
+                fkw = {"action_dim": self.action_dim}
+                # match the config's frame size (reference pixel configs run
+                # 96x96; the double defaults to 48x48)
+                rgb_shape = (self.shape_meta or {}).get("obs", {}).get("rgb", {}).get("shape")
+                if rgb_shape is not None:
+                    fkw["img_hw"] = (int(rgb_shape[1]), int(rgb_shape[2]))
+                raw = FakeRobosuiteEnv(**fkw)
             else:
                 import json
 

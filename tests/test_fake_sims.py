@@ -280,6 +280,56 @@ class TestFactoryChain:
         assert np.asarray(trunc).all()  # budget 8 = 4 chunks x 2
         venv.close()
 
+    def test_robomimic_image_chain_follows_shape_meta(self, tmp_path):
+        # the fake sim must render at the CONFIG's frame size (the reference
+        # pixel recipes run 96x96 — ft_ppo_diffusion_mlp_img.yaml:34 — while
+        # the double's default is 48x48); regression for the round-5 pixel
+        # full-operating-point drive
+        from dppo_tpu.envs import make_async
+
+        norm = tmp_path / "norm.npz"
+        np.savez(
+            norm,
+            obs_min=np.full(9, -2.0),
+            obs_max=np.full(9, 2.0),
+            action_min=np.full(7, -2.0),
+            action_max=np.full(7, 2.0),
+        )
+        shape_meta = {
+            "obs": {"rgb": {"shape": [3, 96, 96]}, "state": {"shape": [9]}},
+            "action": {"shape": [7]},
+        }
+        venv = make_async(
+            "can",
+            env_type="robomimic",
+            num_envs=2,
+            asynchronous=False,
+            max_episode_steps=8,
+            shape_meta=shape_meta,
+            wrappers={
+                "robomimic_image": {
+                    "normalization_path": str(norm),
+                    "image_keys": ["agentview_image"],
+                    "shape_meta": shape_meta,
+                },
+                "multi_step": {
+                    "n_obs_steps": 1,
+                    "n_action_steps": 2,
+                    "max_episode_steps": 8,
+                    "reset_within_step": True,
+                },
+            },
+            obs_dim=9,
+            action_dim=7,
+            fake_sim=True,
+        )
+        venv.seed([0, 1])
+        obs = venv.reset_arg()
+        assert obs["rgb"].shape == (2, 1, 3, 96, 96)
+        obs, *_ = venv.step(np.zeros((2, 2, 7), dtype=np.float32))
+        assert obs["rgb"].shape == (2, 1, 3, 96, 96)
+        venv.close()
+
     def test_d3il_chain_through_factory(self, tmp_path):
         from dppo_tpu.envs import make_async
 

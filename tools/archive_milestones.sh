@@ -72,4 +72,12 @@ if [ -d $E ]; then
   [ -n "$LAST" ] && copy "$LAST" pixels96_expert/$(basename "$LAST") "expert-start pixel DPPO policy"
 fi
 
+# --- evidence logs (round-5 lesson: runs/ died mid-round and took the
+# matrix/walker/pixel logs PROGRESS.md cites with it — snapshot them) ---
+for log in runs/matrix/*.log runs/walker_r5.log runs/pixels96_expert_ft.log \
+           runs/pixels96_expert/bc_eval_*.log runs/robomimic_pixel_drive.log \
+           runs/pendulum_ddim_eta_state1.log runs/hopper_r5.log; do
+  [ -f "$log" ] && copy "$log" "logs/$(basename "$log")" "evidence log snapshot"
+done
+
 echo; echo "=== artifacts/ ==="; du -sh $A; cat $MANIFEST

@@ -63,6 +63,7 @@ def main():
             f"normalization_path={args.norm}",
             "model.use_ddim=true",
             "model.ddim_steps=5",
+            f"logdir={args.out}/distill_eval",  # avoid the DPPO_LOG_DIR env interpolation
         ],
     )
     model = instantiate(cfg.model)

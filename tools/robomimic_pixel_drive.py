@@ -46,6 +46,10 @@ def main():
             "env.fake_sim=true",
             "model.network_path=null",
             f"train.n_train_itr={n_itr}",
+            # the shipped config ties first_cycle_steps to n_train_itr; at a
+            # 3-iteration drive that violates warmup_steps < first_cycle_steps
+            "train.actor_lr_scheduler.first_cycle_steps=1000",
+            "train.critic_lr_scheduler.first_cycle_steps=1000",
             f"train.val_freq={n_itr + 1}",
             f"train.save_model_freq={n_itr + 1}",
             "train.n_critic_warmup_itr=0",
