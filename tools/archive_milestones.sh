@@ -76,8 +76,25 @@ fi
 # matrix/walker/pixel logs PROGRESS.md cites with it — snapshot them) ---
 for log in runs/matrix/*.log runs/walker_r5.log runs/pixels96_expert_ft.log \
            runs/pixels96_expert/bc_eval_*.log runs/robomimic_pixel_drive.log \
-           runs/pendulum_ddim_eta_state1.log runs/hopper_r5.log; do
+           runs/pendulum_ddim_eta_state1.log runs/hopper_r5.log \
+           runs/pixels96_expert_ft2.log runs/pixels96_expert300_ft.log \
+           runs/pixels96_expert300_ft_ext.log runs/pixels96_expert_k10.log \
+           runs/pixels96_expert_k10_noaug.log runs/distill300.log \
+           runs/multiclient_driver.log runs/pytest_full.log; do
   [ -f "$log" ] && copy "$log" "logs/$(basename "$log")" "evidence log snapshot"
+done
+for d in pixels96_expert300 pixels96_expert_k10; do
+  for ev in runs/$d/bc_eval_ddim.log runs/$d/bc_eval_ddpm.log; do
+    [ -f "$ev" ] && copy "$ev" "logs/${d}_$(basename "$ev")" "evidence log snapshot"
+  done
+done
+
+# --- round-5 pixel-arm BC checkpoints (the distilled-expert pipeline) ---
+for d in pixels96_expert300 pixels96_expert_k10; do
+  B=$(ls runs/$d/pre/checkpoint/state_*.pkl 2>/dev/null | sed 's/.*state_\([0-9]*\).pkl/\1 &/' | sort -n | tail -1 | cut -d' ' -f2)
+  [ -n "$B" ] && copy "$B" "$d/$(basename "$B")" "$d BC pretrain (expert demos)"
+  F=$(latest_full runs/$d/ft/checkpoint 2>/dev/null)
+  [ -n "$F" ] && copy "$F" "$d/$(basename "$F")" "$d ft resume state"
 done
 
 echo; echo "=== artifacts/ ==="; du -sh $A; cat $MANIFEST
